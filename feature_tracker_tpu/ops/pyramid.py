@@ -1,0 +1,34 @@
+"""Image pyramid construction.
+
+TPU-native stand-in for the sibling-repo ImagePyramid the reference consumes
+(reference: test/test_optical_flow.cpp:49-71): half resolution per level via
+2x2 averaging. ``quantize=True`` truncates each level to integers to match
+the uint8 arithmetic of the reference pyramid buffers."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def build_pyramid(img, levels: int, quantize: bool = True):
+    """Build a half-resolution-per-level pyramid.
+
+    Args:
+      img: ``[H, W]`` float image (level 0).
+      levels: total number of levels (level 0 included).
+      quantize: truncate downsampled levels to integer gray values.
+
+    Returns:
+      Tuple of ``levels`` arrays, finest first.
+    """
+    pyr = [img]
+    for _ in range(levels - 1):
+        a = pyr[-1]
+        h2 = (a.shape[0] // 2) * 2
+        w2 = (a.shape[1] // 2) * 2
+        down = (a[0:h2:2, 0:w2:2] + a[1:h2:2, 0:w2:2]
+                + a[0:h2:2, 1:w2:2] + a[1:h2:2, 1:w2:2]) * 0.25
+        if quantize:
+            down = jnp.floor(down)
+        pyr.append(down)
+    return tuple(pyr)

@@ -1,0 +1,10 @@
+"""Test config: run everything on a virtual 8-device CPU mesh so sharding
+logic is testable without a TPU pod. Must run before jax is imported."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()

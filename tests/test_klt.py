@@ -1,0 +1,120 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from feature_tracker_tpu.core.config import KltMethod, KltOptions
+from feature_tracker_tpu.core.status import TrackStatus
+from feature_tracker_tpu.ops.pyramid import build_pyramid
+from feature_tracker_tpu.trackers.klt import AffineKlt, BasicKlt, LssdKlt
+
+from tests.synthetic import grid_features, se2_pair, translated_pair
+
+
+def _track_err(cur_uv, ref_uv, true_shift):
+    pred = np.asarray(cur_uv) - np.asarray(ref_uv)
+    return np.linalg.norm(pred - np.asarray(true_shift), axis=-1)
+
+
+@pytest.mark.parametrize("method", [KltMethod.FAST, KltMethod.INVERSE,
+                                    KltMethod.DIRECT])
+def test_basic_single_level_subpixel(method):
+    shift = (2.3, -1.7)
+    ref, cur = translated_pair(shift=shift)
+    uv = grid_features(*ref.shape)
+    tracker = BasicKlt(KltOptions(method=method))
+    cur_uv, status = tracker.track_single_level(jnp.asarray(ref),
+                                                jnp.asarray(cur), uv)
+    status = np.asarray(status)
+    tracked = status == int(TrackStatus.TRACKED)
+    assert tracked.mean() > 0.9
+    err = _track_err(cur_uv, uv, shift)[tracked]
+    assert np.median(err) < 0.15
+
+
+def test_basic_pyramid_large_shift():
+    shift = (10.4, 6.2)
+    ref, cur = translated_pair(shift=shift)
+    uv = grid_features(*ref.shape)
+    ref_pyr = build_pyramid(jnp.asarray(ref), 3)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 3)
+    tracker = BasicKlt()
+    cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)
+    status = np.asarray(status)
+    tracked = status == int(TrackStatus.TRACKED)
+    assert tracked.mean() > 0.8
+    err = _track_err(cur_uv, uv, shift)[tracked]
+    assert np.median(err) < 0.25
+
+
+@pytest.mark.parametrize("cls,tol", [(AffineKlt, 0.3), (LssdKlt, 0.5)])
+def test_affine_lssd_translation(cls, tol):
+    # LSSD's convergence step includes the angle term, so it stops a little
+    # farther from the optimum than basic/affine on pure translation.
+    shift = (3.1, -2.4)
+    ref, cur = translated_pair(shift=shift)
+    uv = grid_features(*ref.shape)
+    ref_pyr = build_pyramid(jnp.asarray(ref), 3)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 3)
+    cur_uv, status = cls().track(ref_pyr, cur_pyr, uv)
+    status = np.asarray(status)
+    tracked = status == int(TrackStatus.TRACKED)
+    assert tracked.mean() > 0.6
+    err = _track_err(cur_uv, uv, shift)[tracked]
+    assert np.median(err) < tol
+
+
+def test_lssd_rotation():
+    ref, cur, rot, t = se2_pair(theta=0.04)
+    uv = grid_features(*ref.shape, margin=60, step=30)
+    ref_pyr = build_pyramid(jnp.asarray(ref), 3)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 3)
+    cur_uv, status = LssdKlt().track(ref_pyr, cur_pyr, uv)
+    status = np.asarray(status)
+    tracked = status == int(TrackStatus.TRACKED)
+    assert tracked.mean() > 0.5
+    truth = uv @ rot.T + t
+    err = np.linalg.norm(np.asarray(cur_uv) - truth, axis=-1)[tracked]
+    assert np.median(err) < 0.5
+
+
+def test_status_codes():
+    ref, cur = translated_pair()
+    h, w = ref.shape
+    flat = np.zeros_like(ref)
+    # Feature near the border -> patch empty -> OUTSIDE.
+    uv = np.array([[2.0, 2.0], [w / 2, h / 2]], np.float32)
+    tracker = BasicKlt()
+    _, status = tracker.track_single_level(jnp.asarray(flat),
+                                           jnp.asarray(flat), uv)
+    status = np.asarray(status)
+    # Flat image: zero hessian -> singular solve -> NUMERIC_ERROR.
+    assert status[1] == int(TrackStatus.NUMERIC_ERROR)
+
+
+def test_failed_features_not_retracked():
+    ref, cur = translated_pair()
+    uv = grid_features(*ref.shape)
+    status0 = np.zeros(len(uv), np.int8)
+    status0[0] = int(TrackStatus.OUTSIDE)
+    prior_uv = uv.copy()
+    prior_uv[0] = (99.0, 99.0)
+    tracker = BasicKlt()
+    cur_uv, status = tracker.track_single_level(
+        jnp.asarray(ref), jnp.asarray(cur), uv, cur_uv=prior_uv,
+        status=status0)
+    assert np.asarray(status)[0] == int(TrackStatus.OUTSIDE)
+    np.testing.assert_allclose(np.asarray(cur_uv)[0], (99.0, 99.0))
+
+
+def test_max_track_points_limit():
+    ref, cur = translated_pair()
+    uv = grid_features(*ref.shape)
+    n_limit = 3
+    tracker = BasicKlt(KltOptions(max_track_points=n_limit))
+    cur_uv, status = tracker.track_single_level(jnp.asarray(ref),
+                                                jnp.asarray(cur), uv)
+    status = np.asarray(status)
+    assert np.all(status[n_limit:] == int(TrackStatus.NOT_TRACKED))
+    np.testing.assert_allclose(np.asarray(cur_uv)[n_limit:], uv[n_limit:])
+    assert np.all(status[:n_limit] == int(TrackStatus.TRACKED))
