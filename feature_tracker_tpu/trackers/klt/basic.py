@@ -6,9 +6,12 @@ Reference behavior: src/optical_flow_tracker/basic_klt/
  - direct/inverse per-iteration rebuild: optical_flow_basic_klt.cpp:88-204
  - multi-level driver: optical_flow_basic_klt.cpp:7-57
 
-Design: the per-feature loops become one vmapped lane per feature; the
-per-iteration early exits become the masked scaffold in
-:mod:`feature_tracker_tpu.trackers.klt.engine`.
+TPU design: the per-feature loops become one vmapped lane per feature, the
+per-iteration early exits become the masked scaffold in engine.py, and all
+patch sampling uses the window-slice formulation (ops/window.py) — one
+contiguous dynamic-slice per feature per image per iteration instead of
+per-pixel gathers, because every sample in a patch shares one integer
+anchor and one set of bilinear weights.
 """
 
 from __future__ import annotations
@@ -20,12 +23,13 @@ import jax.numpy as jnp
 
 from feature_tracker_tpu.core.config import KltMethod, KltOptions
 from feature_tracker_tpu.core.status import TrackStatus
-from feature_tracker_tpu.ops.interp import (
-    bilinear_sample,
-    extract_const_weight_patch,
-    inner_gradients,
-)
 from feature_tracker_tpu.ops.solve import solve2x2
+from feature_tracker_tpu.ops.window import (
+    const_weights,
+    pad_image,
+    slice_window,
+    tap_validity,
+)
 from feature_tracker_tpu.trackers.klt.engine import (
     NO_BREAK,
     StepResult,
@@ -43,13 +47,36 @@ def _patch_offsets(opts: KltOptions):
     return jnp.stack([dcc.reshape(-1), drr.reshape(-1)], axis=-1)
 
 
-def _fast_one(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv0, status_in):
+def _weighted_taps(block, weights, r0: int, c0: int, rows: int, cols: int):
+    """Constant-weight bilinear combination of the 4 tap views of a block
+    sub-region starting at (r0, c0)."""
+    w_tl, w_tr, w_bl, w_br = weights
+    return (w_tl * block[r0:r0 + rows, c0:c0 + cols]
+            + w_tr * block[r0:r0 + rows, c0 + 1:c0 + cols + 1]
+            + w_bl * block[r0 + 1:r0 + rows + 1, c0:c0 + cols]
+            + w_br * block[r0 + 1:r0 + rows + 1, c0 + 1:c0 + cols + 1])
+
+
+def _fast_one(opts: KltOptions, img_shape, ref_pad, cur_pad, pad: int,
+              ref_uv, cur_uv0, status_in):
     """Fast mode for one feature at one level (to be vmapped)."""
     del status_in  # fast mode rewrites the status unconditionally
-    ex_patch, ex_valid = extract_const_weight_patch(
-        ref_img, ref_uv, opts.ex_patch_rows, opts.ex_patch_cols)
+    epr, epc = opts.ex_patch_rows, opts.ex_patch_cols
+    pr, pc = opts.patch_rows, opts.patch_cols
+
+    r0, c0, wts = const_weights(ref_uv)
+    min_r = r0 - epr // 2
+    min_c = c0 - epc // 2
+    block = slice_window(ref_pad, pad, min_r, min_c, max(epr, epc) + 1)
+    ex_valid = tap_validity(img_shape, min_r, min_c, epr, epc)
+    ex_patch = jnp.where(ex_valid, _weighted_taps(block, wts, 0, 0, epr, epc),
+                         0.0)
     n_valid_ref = jnp.sum(ex_valid.astype(jnp.int32))
-    dx, dy = inner_gradients(ex_patch, ex_valid)
+
+    gvalid = (ex_valid[1:-1, :-2] & ex_valid[1:-1, 2:]
+              & ex_valid[:-2, 1:-1] & ex_valid[2:, 1:-1])
+    dx = jnp.where(gvalid, ex_patch[1:-1, 2:] - ex_patch[1:-1, :-2], 0.0)
+    dy = jnp.where(gvalid, ex_patch[2:, 1:-1] - ex_patch[:-2, 1:-1], 0.0)
     h00 = jnp.sum(dx * dx)
     h01 = jnp.sum(dx * dy)
     h11 = jnp.sum(dy * dy)
@@ -61,9 +88,14 @@ def _fast_one(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv0, status_in):
                         jnp.int8(int(TrackStatus.LARGE_RESIDUAL)))
 
     def step(cur_uv):
-        cur_patch, cur_valid = extract_const_weight_patch(
-            cur_img, cur_uv, opts.patch_rows, opts.patch_cols)
-        valid = cur_valid & inner_valid
+        cr0, cc0, cwts = const_weights(cur_uv)
+        cmin_r = cr0 - pr // 2
+        cmin_c = cc0 - pc // 2
+        cblock = slice_window(cur_pad, pad, cmin_r, cmin_c,
+                              max(pr, pc) + 1)
+        cvalid = tap_validity(img_shape, cmin_r, cmin_c, pr, pc)
+        cur_patch = _weighted_taps(cblock, cwts, 0, 0, pr, pc)
+        valid = cvalid & inner_valid
         dt = jnp.where(valid, cur_patch - inner_patch, 0.0)
         b0 = -jnp.sum(dx * dt)
         b1 = -jnp.sum(dy * dt)
@@ -76,33 +108,52 @@ def _fast_one(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv0, status_in):
     return uv, status
 
 
-def _iterative_one(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv0,
-                   status_in):
+def _iterative_one(opts: KltOptions, img_shape, ref_pad, cur_pad, pad: int,
+                   ref_uv, cur_uv0, status_in):
     """Direct/inverse mode for one feature at one level (to be vmapped).
 
-    H and b are rebuilt every iteration from bilinear samples; the gradient
-    comes from the reference image (inverse) or the current image (direct)
-    (reference: basic_klt.cpp:119-204). Unlike fast mode there is no
-    divergence counter and the incoming status is kept unless a break
-    condition rewrites it."""
-    offsets = _patch_offsets(opts)  # [P, 2]
-    h, w = cur_img.shape
-    ex = jnp.array([1.0, 0.0], dtype=jnp.float32)
-    ey = jnp.array([0.0, 1.0], dtype=jnp.float32)
+    H and b are rebuilt every iteration; the gradient comes from the
+    reference image (inverse) or the current image (direct)
+    (reference: basic_klt.cpp:119-204). The +-1 gradient samples share the
+    anchor's fractional part, so the whole iteration still needs only one
+    window slice per image."""
+    pr, pc = opts.patch_rows, opts.patch_cols
+    h, w = img_shape
+    win = max(pr, pc) + 3  # patch + 1px gradient border + 1 bilinear tap
+    inverse = opts.method == KltMethod.INVERSE
+
+    def shifted(block, wts, dr, dc):
+        return _weighted_taps(block, wts, 1 + dr, 1 + dc, pr, pc)
+
+    def validity(min_r, min_c, dr, dc):
+        return tap_validity(img_shape, min_r + dr, min_c + dc, pr, pc)
+
+    def load(padded, uv):
+        r0, c0, wts = const_weights(uv)
+        min_r = r0 - pr // 2
+        min_c = c0 - pc // 2
+        block = slice_window(padded, pad, min_r - 1, min_c - 1, win)
+        return block, wts, min_r, min_c
 
     def step(cur_uv):
-        if opts.method == KltMethod.INVERSE:
-            g_img, g_base = ref_img, ref_uv
-        else:
-            g_img, g_base = cur_img, cur_uv
-        pos_g = g_base[None, :] + offsets
-        vl, okl = bilinear_sample(g_img, pos_g - ex)
-        vr, okr = bilinear_sample(g_img, pos_g + ex)
-        vt, okt = bilinear_sample(g_img, pos_g - ey)
-        vb, okb = bilinear_sample(g_img, pos_g + ey)
-        refv, okref = bilinear_sample(ref_img, ref_uv[None, :] + offsets)
-        curv, okcur = bilinear_sample(cur_img, cur_uv[None, :] + offsets)
-        valid = okl & okr & okt & okb & okref & okcur
+        g_block, g_wts, g_minr, g_minc = load(
+            ref_pad if inverse else cur_pad, ref_uv if inverse else cur_uv)
+        r_block, r_wts, r_minr, r_minc = load(ref_pad, ref_uv)
+        c_block, c_wts, c_minr, c_minc = load(cur_pad, cur_uv)
+
+        vl = shifted(g_block, g_wts, 0, -1)
+        vr = shifted(g_block, g_wts, 0, 1)
+        vt = shifted(g_block, g_wts, -1, 0)
+        vb = shifted(g_block, g_wts, 1, 0)
+        refv = shifted(r_block, r_wts, 0, 0)
+        curv = shifted(c_block, c_wts, 0, 0)
+
+        valid = (validity(g_minr, g_minc, 0, -1)
+                 & validity(g_minr, g_minc, 0, 1)
+                 & validity(g_minr, g_minc, -1, 0)
+                 & validity(g_minr, g_minc, 1, 0)
+                 & validity(r_minr, r_minc, 0, 0)
+                 & validity(c_minr, c_minc, 0, 0))
         fx = jnp.where(valid, vr - vl, 0.0)
         fy = jnp.where(valid, vb - vt, 0.0)
         ft = jnp.where(valid, curv - refv, 0.0)
@@ -124,6 +175,9 @@ def _iterative_one(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv0,
 
 
 def track_level(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv, status):
+    pad = max(opts.ex_patch_rows, opts.ex_patch_cols) + 3
+    ref_pad = pad_image(ref_img, pad)
+    cur_pad = pad_image(cur_img, pad)
     one = _fast_one if opts.method == KltMethod.FAST else _iterative_one
-    return jax.vmap(partial(one, opts, ref_img, cur_img))(ref_uv, cur_uv,
-                                                          status)
+    fn = partial(one, opts, ref_img.shape, ref_pad, cur_pad, pad)
+    return jax.vmap(fn)(ref_uv, cur_uv, status)
