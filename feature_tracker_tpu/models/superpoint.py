@@ -160,10 +160,16 @@ class SuperPointDetector:
 
     def detect(self, image):
         """image: [H, W] 0..255. Returns (uv [K,2], descriptors [K,D], num)."""
-        heat, desc = self.model.apply(self.variables,
-                                      image[None, :, :, None])
-        uv, num = select_keypoints(heat[0], self.max_features,
-                                   self.min_response,
-                                   self.min_feature_distance)
-        d = sample_descriptors(desc[0], uv)
-        return uv, d, num
+        return _detect_jit(self.model, self.variables, image,
+                           self.max_features, self.min_response,
+                           self.min_feature_distance)
+
+
+@partial(jax.jit, static_argnames=("model", "max_features", "min_distance"))
+def _detect_jit(model, variables, image, max_features: int, min_response,
+                min_distance: int):
+    heat, desc = model.apply(variables, image[None, :, :, None])
+    uv, num = select_keypoints(heat[0], max_features, min_response,
+                               min_distance)
+    d = sample_descriptors(desc[0], uv)
+    return uv, d, num

@@ -20,6 +20,8 @@ Returns fixed-size arrays plus a count, since jit requires static shapes.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -48,6 +50,7 @@ def shi_tomasi_response(img, window_half_size: int = 1):
     return 0.5 * (tr - d)
 
 
+@partial(jax.jit, static_argnames=("max_num", "opts"))
 def detect_good_features(img, max_num: int, opts: HarrisOptions = HarrisOptions()):
     """Detect up to ``max_num`` corners with min-distance suppression.
 

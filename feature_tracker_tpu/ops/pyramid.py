@@ -7,9 +7,13 @@ the uint8 arithmetic of the reference pyramid buffers."""
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("levels", "quantize"))
 def build_pyramid(img, levels: int, quantize: bool = True):
     """Build a half-resolution-per-level pyramid.
 
