@@ -1,0 +1,214 @@
+"""Sharded Schur-complement bundle adjustment.
+
+New scope beyond the reference (which has no multi-view refinement;
+SURVEY.md §7.2.7): jointly refines camera poses and landmarks from pixel
+observations. Designed TPU-first:
+
+ - **Landmark-block layout**: observations are stored per landmark
+   ``[L, O]`` (pose index, uv, mask) — the landmark axis is the shard
+   axis. Every per-landmark quantity (3x3 A_l, Schur contributions,
+   back-substitution) is an independent vmapped lane.
+ - **Schur complement**: each landmark eliminates its own 3x3 block in
+   closed form; its contribution to the reduced camera system is a dense
+   [O, O, 6, 6] outer block scattered into [P, P, 6, 6]. With landmarks
+   sharded, the scatter-add's replication is an XLA all-reduce (psum over
+   the mesh) — the only cross-device communication per iteration.
+ - **Replicated solve**: the reduced 6P x 6P system is tiny (P = window
+   keyframes) and solved replicated on every device; back-substitution is
+   shard-local.
+
+Pose convention: world-to-camera (q_cw, t_cw), p_c = R(q) p_w + t.
+Left SE(3) perturbation: p_c' ~= p_c + dtheta x p_c + dt, giving
+d p_c/d theta = -[p_c]_x and d p_c/d t = I; landmark jacobian is R(q).
+Gauge freedom is fixed by freezing the first pose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from feature_tracker_tpu.core.geometry import (
+    quat_from_small_angle,
+    quat_multiply,
+    quat_normalize,
+    quat_rotate,
+    quat_to_matrix,
+)
+
+_EPS_Z = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class BaOptions:
+    max_iterations: int = 10
+    landmark_damping: float = 1e-4
+    pose_damping: float = 1e-4
+    # Gauge fixing: freeze the first K poses. 1 pins the similarity frame
+    # up to global scale (sufficient with metric depth); 2 also pins the
+    # monocular scale freedom.
+    num_fixed_poses: int = 1
+
+
+def project(p_c, k4):
+    """Pinhole projection of camera-frame points [..., 3] -> [..., 2]."""
+    fx, fy, cx, cy = k4[0], k4[1], k4[2], k4[3]
+    z = jnp.maximum(p_c[..., 2], _EPS_Z)
+    return jnp.stack([fx * p_c[..., 0] / z + cx,
+                      fy * p_c[..., 1] / z + cy], axis=-1)
+
+
+def reprojection_residuals(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv,
+                           obs_mask, k4):
+    """Masked residuals [L, O, 2] (projection - observation)."""
+    q_o = q_cw[obs_pose_idx]                      # [L, O, 4]
+    t_o = t_cw[obs_pose_idx]                      # [L, O, 3]
+    p_c = quat_rotate(q_o, landmarks[:, None, :]) + t_o
+    valid = obs_mask & (p_c[..., 2] > _EPS_Z)
+    r = project(p_c, k4) - obs_uv
+    return jnp.where(valid[..., None], r, 0.0), p_c, valid
+
+
+def reprojection_rms(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask,
+                     k4):
+    r, _, valid = reprojection_residuals(q_cw, t_cw, landmarks,
+                                         obs_pose_idx, obs_uv, obs_mask, k4)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sqrt(jnp.sum(r * r) / n.astype(jnp.float32))
+
+
+def _skew(v):
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
+def _jacobians(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4):
+    """Residuals + per-observation jacobians.
+
+    Returns r [L,O,2], j_pose [L,O,2,6] (theta cols 0-2, t cols 3-5),
+    j_lm [L,O,2,3], valid [L,O]."""
+    r, p_c, valid = reprojection_residuals(q_cw, t_cw, landmarks,
+                                           obs_pose_idx, obs_uv, obs_mask,
+                                           k4)
+    fx, fy = k4[0], k4[1]
+    z = jnp.maximum(p_c[..., 2], _EPS_Z)
+    zi = 1.0 / z
+    x, y = p_c[..., 0], p_c[..., 1]
+    zero = jnp.zeros_like(zi)
+    j_proj = jnp.stack([
+        jnp.stack([fx * zi, zero, -fx * x * zi * zi], -1),
+        jnp.stack([zero, fy * zi, -fy * y * zi * zi], -1)], -2)  # [L,O,2,3]
+
+    j_pose = jnp.concatenate([
+        jnp.einsum("loij,lojk->loik", j_proj, -_skew(p_c)),
+        j_proj], axis=-1)                                        # [L,O,2,6]
+
+    rot = quat_to_matrix(q_cw)[obs_pose_idx]                     # [L,O,3,3]
+    j_lm = jnp.einsum("loij,lojk->loik", j_proj, rot)            # [L,O,2,3]
+
+    m = valid[..., None, None].astype(jnp.float32)
+    return r, j_pose * m, j_lm * m, valid
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def ba_step(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4,
+            opts: BaOptions = BaOptions()):
+    """One damped Gauss-Newton step with Schur elimination of landmarks.
+
+    Returns (q_cw, t_cw, landmarks) updated."""
+    # Normal equations are ill-conditioned; the TPU MXU's default bf16
+    # matmul precision diverges here — force full float32 contractions.
+    with jax.default_matmul_precision("float32"):
+        return _ba_step_f32(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv,
+                            obs_mask, k4, opts)
+
+
+def _ba_step_f32(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4,
+                 opts: BaOptions):
+    num_poses = q_cw.shape[0]
+    r, j_pose, j_lm, _ = _jacobians(q_cw, t_cw, landmarks, obs_pose_idx,
+                                    obs_uv, obs_mask, k4)
+
+    # Landmark-block quantities (all vmapped over the sharded L axis).
+    a_l = (jnp.einsum("loik,loij->lkj", j_lm, j_lm)
+           + opts.landmark_damping * jnp.eye(3))                 # [L,3,3]
+    g_l = -jnp.einsum("loik,loi->lk", j_lm, r)                   # [L,3]
+    w = jnp.einsum("loik,loij->lokj", j_pose, j_lm)              # [L,O,6,3]
+    b_blk = jnp.einsum("loik,loij->lokj", j_pose, j_pose)        # [L,O,6,6]
+    c = -jnp.einsum("loik,loi->lok", j_pose, r)                  # [L,O,6]
+
+    a_inv = jnp.linalg.inv(a_l)                                  # [L,3,3]
+    w_ainv = jnp.einsum("loij,ljk->loik", w, a_inv)              # [L,O,6,3]
+
+    # Schur contributions: diag GN blocks minus W A^-1 W^T pair blocks.
+    pair = -jnp.einsum("loik,lpjk->lopij", w_ainv, w)            # [L,O,O,6,6]
+    o = obs_uv.shape[1]
+    eye_o = jnp.eye(o, dtype=bool)
+    pair = pair + jnp.where(eye_o[None, :, :, None, None],
+                            b_blk[:, :, None], 0.0)
+    rhs = c - jnp.einsum("loik,lk->loi", w_ainv, g_l)            # [L,O,6]
+
+    # Scatter into the reduced camera system. With L sharded this
+    # all-reduces across the mesh (the per-iteration psum).
+    rows = jnp.broadcast_to(obs_pose_idx[:, :, None], pair.shape[:3])
+    cols = jnp.broadcast_to(obs_pose_idx[:, None, :], pair.shape[:3])
+    h_pp = jnp.zeros((num_poses, num_poses, 6, 6), jnp.float32)
+    h_pp = h_pp.at[rows, cols].add(pair)
+    b_p = jnp.zeros((num_poses, 6), jnp.float32)
+    b_p = b_p.at[obs_pose_idx].add(rhs)
+
+    diag = jnp.arange(num_poses)
+    h_pp = h_pp.at[diag, diag].add(opts.pose_damping * jnp.eye(6))
+
+    if opts.num_fixed_poses > 0:
+        # Gauge: freeze the first K poses (zero rows/cols, identity diag).
+        keep = jnp.arange(num_poses) >= opts.num_fixed_poses
+        h_pp = h_pp * keep[:, None, None, None] * keep[None, :, None, None]
+        fixed = jnp.arange(opts.num_fixed_poses)
+        h_pp = h_pp.at[fixed, fixed].set(jnp.eye(6))
+        b_p = b_p * keep[:, None]
+
+    h_dense = h_pp.transpose(0, 2, 1, 3).reshape(6 * num_poses,
+                                                 6 * num_poses)
+    dx_p = jnp.linalg.solve(h_dense, b_p.reshape(-1)).reshape(num_poses, 6)
+    dx_p = jnp.where(jnp.isnan(dx_p), 0.0, dx_p)
+
+    # Back-substitution (shard-local): dl = A^-1 (g - sum_o W^T dp_o).
+    dp_at_obs = dx_p[obs_pose_idx]                               # [L,O,6]
+    corr = jnp.einsum("loik,loi->lk", w, dp_at_obs)              # [L,3]
+    dl = jnp.einsum("lij,lj->li", a_inv, g_l - corr)
+    dl = jnp.where(jnp.isnan(dl), 0.0, dl)
+
+    # Apply updates: left-perturbation pose update, additive landmarks.
+    dq = quat_from_small_angle(dx_p[:, :3])
+    new_q = quat_normalize(quat_multiply(dq, q_cw))
+    new_t = quat_rotate(dq, t_cw) + dx_p[:, 3:]
+    return new_q, new_t, landmarks + dl
+
+
+def bundle_adjust(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4,
+                  opts: BaOptions = BaOptions()):
+    """Run ``opts.max_iterations`` damped GN steps; returns
+    (q_cw, t_cw, landmarks, rms_history [iters+1])."""
+    q_cw = jnp.asarray(q_cw, jnp.float32)
+    t_cw = jnp.asarray(t_cw, jnp.float32)
+    landmarks = jnp.asarray(landmarks, jnp.float32)
+    obs_pose_idx = jnp.asarray(obs_pose_idx, jnp.int32)
+    obs_uv = jnp.asarray(obs_uv, jnp.float32)
+    obs_mask = jnp.asarray(obs_mask, bool)
+    k4 = jnp.asarray(k4, jnp.float32)
+
+    rms = [reprojection_rms(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv,
+                            obs_mask, k4)]
+    for _ in range(opts.max_iterations):
+        q_cw, t_cw, landmarks = ba_step(q_cw, t_cw, landmarks, obs_pose_idx,
+                                        obs_uv, obs_mask, k4, opts)
+        rms.append(reprojection_rms(q_cw, t_cw, landmarks, obs_pose_idx,
+                                    obs_uv, obs_mask, k4))
+    return q_cw, t_cw, landmarks, jnp.stack(rms)

@@ -86,7 +86,10 @@ def _pixel_xi_jacobian(p_ref, fx, fy):
     """2x6 d(pixel)/d(xi) from the reference-frame point
     (reference: direct_method_tracker.cpp:148-151)."""
     x, y, z = p_ref[..., 0], p_ref[..., 1], p_ref[..., 2]
-    zi = 1.0 / z
+    # Invalid (non-positive-depth) features are masked out of H/b later,
+    # but 1/0 here would produce NaN*0 = NaN and poison the reduction —
+    # substitute a safe depth for them.
+    zi = 1.0 / jnp.where(z >= _EPS_Z, z, 1.0)
     zi2 = zi * zi
     row0 = jnp.stack([fx * zi, jnp.zeros_like(x), -fx * x * zi2,
                       -fx * x * y * zi2, fx + fx * x * x * zi2,

@@ -1,0 +1,183 @@
+"""Tests for the parallel package: meshes, sharded tracking, sharded BA.
+
+conftest.py provides 8 virtual CPU devices; every sharded path is checked
+for numerical agreement with its single-device equivalent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feature_tracker_tpu.core.geometry import quat_rotate
+from feature_tracker_tpu.core.status import TrackStatus
+from feature_tracker_tpu.ops.pyramid import build_pyramid
+from feature_tracker_tpu.parallel import (
+    BaOptions,
+    bundle_adjust,
+    feature_sharding,
+    make_mesh,
+    shard_features,
+    track_direct_sharded,
+    track_klt_sharded,
+)
+from feature_tracker_tpu.parallel.ba import reprojection_rms
+from feature_tracker_tpu.trackers.direct import DirectMethod
+from feature_tracker_tpu.trackers.klt import BasicKlt, KltOptions
+
+from synthetic import translated_pair
+
+
+def test_make_mesh_default_and_2d():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh({"host": 2, "data": -1})
+    assert mesh2.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        make_mesh({"data": 16})
+
+
+def test_shard_features_pads_and_places():
+    mesh = make_mesh()
+    uv = jnp.ones((13, 2))
+    n_pad, s = shard_features(mesh, uv)
+    assert n_pad == 16 and s.shape == (16, 2)
+    assert s.sharding == feature_sharding(mesh)
+    np.testing.assert_allclose(np.asarray(s)[13:], 0.0)
+
+
+def test_track_klt_sharded_matches_single_device():
+    ref, cur = translated_pair(h=96, w=128, shift=(3.0, -2.0))
+    ref_pyr = build_pyramid(jnp.asarray(ref), 3)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 3)
+    rng = np.random.default_rng(0)
+    uv = np.stack([rng.uniform(20, 108, 37), rng.uniform(20, 76, 37)],
+                  -1).astype(np.float32)
+    tracker = BasicKlt(KltOptions(max_track_points=64))
+
+    base_uv, base_st = tracker.track(ref_pyr, cur_pyr, uv)
+    mesh = make_mesh()
+    sh_uv, sh_st = track_klt_sharded(tracker, mesh, ref_pyr, cur_pyr, uv)
+    np.testing.assert_array_equal(np.asarray(base_st), np.asarray(sh_st))
+    np.testing.assert_allclose(np.asarray(base_uv), np.asarray(sh_uv),
+                               atol=1e-4)
+    assert (np.asarray(sh_st) == int(TrackStatus.TRACKED)).sum() > 25
+
+
+def test_track_direct_sharded_matches_single_device():
+    ref, cur = translated_pair(h=96, w=160, shift=(0.0, 4.0))
+    ref_pyr = build_pyramid(jnp.asarray(ref), 3)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 3)
+    k4 = np.array([120.0, 120.0, 80.0, 48.0], np.float32)
+    rng = np.random.default_rng(1)
+    n = 50
+    uv = np.stack([rng.uniform(15, 145, n), rng.uniform(15, 81, n)],
+                  -1).astype(np.float32)
+    depth = rng.uniform(4.0, 8.0, n).astype(np.float32)
+    p_ref = np.stack([(uv[:, 0] - k4[2]) / k4[0],
+                      (uv[:, 1] - k4[3]) / k4[1],
+                      np.ones(n)], -1) * depth[:, None]
+
+    solver = DirectMethod()
+    b_uv, b_q, b_p, b_st = solver.track(ref_pyr, cur_pyr, k4, p_ref, uv)
+    mesh = make_mesh()
+    s_uv, s_q, s_p, s_st = track_direct_sharded(solver, mesh, ref_pyr,
+                                                cur_pyr, k4, p_ref, uv)
+    # A uniform pixel shift is gauge-degenerate between translation and
+    # rotation, so tiny psum reduction-order differences can move the
+    # parameters along the flat direction; the physically observable
+    # quantities (reprojected pixels, statuses) must agree tightly.
+    np.testing.assert_array_equal(np.asarray(b_st), np.asarray(s_st))
+    np.testing.assert_allclose(np.asarray(b_uv), np.asarray(s_uv), atol=0.2)
+    assert np.abs(np.asarray(b_uv) - np.asarray(s_uv)).mean() < 0.05
+
+
+def _synthetic_ba(num_poses=6, num_lm=64, obs=4, pix_noise=0.3,
+                  state_noise=0.05, seed=0):
+    """Random landmarks in front of a forward-moving camera line."""
+    rng = np.random.default_rng(seed)
+    k4 = np.array([200.0, 200.0, 160.0, 120.0], np.float32)
+    lm = np.stack([rng.uniform(-3, 3, num_lm), rng.uniform(-2, 2, num_lm),
+                   rng.uniform(8, 16, num_lm)], -1).astype(np.float32)
+    q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (num_poses, 1))
+    t = np.stack([np.zeros(num_poses), np.zeros(num_poses),
+                  -0.4 * np.arange(num_poses)], -1).astype(np.float32)
+
+    # Each landmark observed by `obs` random poses.
+    idx = np.stack([rng.choice(num_poses, obs, replace=False)
+                    for _ in range(num_lm)]).astype(np.int32)
+    p_c = lm[:, None, :] + t[idx]  # identity rotations
+    uv = np.stack([k4[0] * p_c[..., 0] / p_c[..., 2] + k4[2],
+                   k4[1] * p_c[..., 1] / p_c[..., 2] + k4[3]], -1)
+    uv += rng.normal(0, pix_noise, uv.shape)
+    mask = np.ones(idx.shape, bool)
+
+    # Perturb the initial state (pose 0 stays at gauge).
+    t0 = t.copy()
+    t0[1:] += rng.normal(0, state_noise, (num_poses - 1, 3))
+    lm0 = lm + rng.normal(0, state_noise, lm.shape)
+    return (q.astype(np.float32), t0.astype(np.float32),
+            lm0.astype(np.float32), idx, uv.astype(np.float32), mask, k4,
+            t.astype(np.float32), lm)
+
+
+def test_bundle_adjust_converges():
+    q0, t0, lm0, idx, uv, mask, k4, t_true, lm_true = _synthetic_ba()
+    # Monocular BA has a global scale gauge: fix two poses to pin it
+    # (the second perturbed pose is reset to truth to act as the anchor).
+    t0[1] = t_true[1]
+    q, t, lm, rms = bundle_adjust(q0, t0, lm0, idx, uv, mask, k4,
+                                  BaOptions(max_iterations=8,
+                                            num_fixed_poses=2))
+    rms = np.asarray(rms)
+    assert rms[-1] < rms[0] * 0.2
+    assert rms[-1] < 1.0  # close to the 0.3 px noise floor
+    # Gauge poses untouched.
+    np.testing.assert_allclose(np.asarray(t)[:2], t0[:2], atol=1e-6)
+    # Poses near ground truth (up to noise).
+    assert np.abs(np.asarray(t)[2:] - t_true[2:]).max() < 0.05
+
+
+def test_bundle_adjust_sharded_matches_single_device():
+    q0, t0, lm0, idx, uv, mask, k4, *_ = _synthetic_ba(num_lm=64, seed=3)
+    # Two fixed poses: pin the monocular scale direction so reduction-order
+    # float noise cannot drift the two runs apart along the flat gauge.
+    opts = BaOptions(max_iterations=3, num_fixed_poses=2)
+    base = bundle_adjust(q0, t0, lm0, idx, uv, mask, k4, opts)
+
+    mesh = make_mesh()
+    sh = feature_sharding(mesh)
+    lm_s = jax.device_put(jnp.asarray(lm0), sh)
+    idx_s = jax.device_put(jnp.asarray(idx), sh)
+    uv_s = jax.device_put(jnp.asarray(uv), sh)
+    mask_s = jax.device_put(jnp.asarray(mask), sh)
+    shard = bundle_adjust(q0, t0, lm_s, idx_s, uv_s, mask_s, k4, opts)
+
+    # Sharded scatter-adds reduce in a different order; agreement is up to
+    # float32 noise (observed ~1e-4 relative), not bitwise.
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(shard[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(base[1]), np.asarray(shard[1]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(base[2]), np.asarray(shard[2]),
+                               rtol=1e-3, atol=5e-3)
+
+
+def test_bundle_adjust_masked_observations_inert():
+    q0, t0, lm0, idx, uv, mask, k4, *_ = _synthetic_ba(num_lm=32, seed=5)
+    # Landmark 0: no valid observations -> must not move.
+    mask2 = mask.copy()
+    mask2[0] = False
+    _, _, lm, _ = bundle_adjust(q0, t0, lm0, idx, uv, mask2, k4,
+                                BaOptions(max_iterations=2))
+    np.testing.assert_allclose(np.asarray(lm)[0], lm0[0], atol=1e-6)
+
+
+def test_reprojection_rms_zero_at_ground_truth():
+    q0, t0, lm0, idx, uv, mask, k4, t_true, lm_true = _synthetic_ba(
+        pix_noise=0.0, state_noise=0.0, seed=7)
+    rms = reprojection_rms(jnp.asarray(q0), jnp.asarray(t_true),
+                           jnp.asarray(lm_true), jnp.asarray(idx),
+                           jnp.asarray(uv), jnp.asarray(mask),
+                           jnp.asarray(k4))
+    assert float(rms) < 1e-3
