@@ -1,0 +1,64 @@
+"""Parity tests for the Pallas fast-KLT level kernel.
+
+On CPU the kernel runs in Pallas interpret mode (slow but exact), compared
+element-for-element against the jnp window-slice path that the rest of the
+suite validates against the reference semantics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from feature_tracker_tpu.core.config import KltOptions
+from feature_tracker_tpu.core.status import TrackStatus
+from feature_tracker_tpu.ops.pallas_klt import track_level_fast_pallas
+from feature_tracker_tpu.trackers.klt.basic import track_level
+
+from synthetic import translated_pair
+
+
+def _compare(h, w, shift, n, seed=0, margin=5.0):
+    ref, cur = translated_pair(h=h, w=w, shift=shift)
+    ref, cur = jnp.asarray(ref), jnp.asarray(cur)
+    rng = np.random.default_rng(seed)
+    uv = np.stack([rng.uniform(margin, w - margin, n),
+                   rng.uniform(margin, h - margin, n)], -1).astype(np.float32)
+    opts = KltOptions(max_track_points=n)
+    st0 = jnp.zeros(n, jnp.int8)
+    uv_a, st_a = track_level(opts, ref, cur, jnp.asarray(uv),
+                             jnp.asarray(uv), st0)
+    uv_b, st_b = track_level_fast_pallas(opts, ref, cur, jnp.asarray(uv),
+                                         jnp.asarray(uv), interpret=True)
+    return (np.asarray(uv_a), np.asarray(st_a),
+            np.asarray(uv_b), np.asarray(st_b))
+
+
+def test_pallas_klt_matches_jnp_path():
+    uv_a, st_a, uv_b, st_b = _compare(120, 160, (2.5, -1.5), 64)
+    np.testing.assert_array_equal(st_a, st_b)
+    np.testing.assert_allclose(uv_a, uv_b, atol=1e-3)
+    assert (st_a == int(TrackStatus.TRACKED)).sum() > 48
+
+
+def test_pallas_klt_border_features_match():
+    # Features hugging the border exercise the clipped aligned loads and
+    # the analytic validity masking.
+    uv_a, st_a, uv_b, st_b = _compare(64, 96, (1.0, 1.0), 48, seed=3,
+                                      margin=1.0)
+    np.testing.assert_array_equal(st_a, st_b)
+    np.testing.assert_allclose(uv_a, uv_b, atol=1e-3)
+
+
+def test_pallas_klt_off_image_features():
+    ref, cur = translated_pair(h=64, w=96, shift=(1.0, 0.0))
+    uv = jnp.asarray([[-30.0, -30.0], [200.0, 20.0], [48.0, 32.0]],
+                     jnp.float32)
+    opts = KltOptions()
+    uv_out, st = track_level_fast_pallas(opts, jnp.asarray(ref),
+                                         jnp.asarray(cur), uv, uv,
+                                         interpret=True)
+    st = np.asarray(st)
+    assert st[0] == int(TrackStatus.OUTSIDE)
+    assert st[1] == int(TrackStatus.OUTSIDE)
+    assert st[2] == int(TrackStatus.TRACKED)
+    # Off-image features keep their input position.
+    np.testing.assert_allclose(np.asarray(uv_out)[:2], np.asarray(uv)[:2])
