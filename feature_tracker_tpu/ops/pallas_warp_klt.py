@@ -1,0 +1,478 @@
+"""Pallas TPU kernels for the affine and LSSD (SE(2)) fast-KLT trackers.
+
+Unlike basic KLT, these warps sample the current image at per-pixel warped
+positions (reference: affine_klt_fast.cpp:150-152, lssd_klt_fast.cpp), so
+the constant-bilinear-weight window trick does not apply. Instead each
+sample is expressed as a separable hat-weight contraction over a
+VMEM-resident window W centered on the feature:
+
+    S(p) = sum_{r,c} hat(ly_p - r) * W[r, c] * hat(lx_p - c)
+         = rowsum( (Rw @ W) * Cw ),   hat(t) = max(0, 1 - |t|)
+
+with Rw/Cw [P, WINDOW] built from iota — one MXU matmul + elementwise ops
+per sample call, zero gathers. This is exactly bilinear interpolation for
+any position inside the window; the window (32 px) leaves >= 5 px of slack
+beyond the rotated patch diagonal, so any SE(2) warp and all
+near-identity affine warps are covered (positions escaping the window are
+masked invalid — a documented deviation from the reference, which samples
+unboundedly; it only triggers for |A| far from identity).
+
+Patch pixels live on a flattened [P_pad, 1] axis (Mosaic cannot reshape
+unaligned 2D tiles); per-feature state travels as 1D SMEM scalars as in
+pallas_klt.py. The 3x3/6x6 GN solves are unrolled scalar Cholesky —
+matching the LDLT of the jnp path up to float noise, with NaN on singular
+H feeding the NUMERIC_ERROR path identically.
+
+Iteration semantics (masked break machine) are identical to
+trackers/klt/engine.py fast mode; see pallas_klt.py for the contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from feature_tracker_tpu.core.config import KltOptions
+from feature_tracker_tpu.core.status import TrackStatus
+
+TILE = 1024
+WIN_R = 48        # aligned window rows (32 target + 8 offset, rounded)
+WIN_C = 256       # aligned window lanes (32 target + 127 offset, rounded)
+
+
+def _round8(x):
+    return ((x + 7) // 8) * 8
+
+
+def _chol_solve(h, b):
+    """Unrolled scalar Cholesky solve; h is a list-of-lists (lower half
+    used), b a list. Returns list x with H x = b; NaN if H not SPD."""
+    n = len(b)
+    low = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            acc = h[i][j]
+            for k in range(j):
+                acc = acc - low[i][k] * low[j][k]
+            if i == j:
+                low[i][j] = jnp.sqrt(acc)
+            else:
+                low[i][j] = acc / low[j][j]
+    y = [None] * n
+    for i in range(n):
+        acc = b[i]
+        for k in range(i):
+            acc = acc - low[i][k] * y[k]
+        y[i] = acc / low[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for k in range(i + 1, n):
+            acc = acc - low[k][i] * x[k]
+        x[i] = acc / low[i][i]
+    return x
+
+
+class _Sampler:
+    """Shared per-kernel machinery: aligned window loads and hat-weight
+    sampling over a flattened patch grid."""
+
+    def __init__(self, opts: KltOptions, img_h, img_w, pad, hp, wp):
+        self.pr, self.pc = opts.patch_rows, opts.patch_cols
+        self.epr, self.epc = opts.ex_patch_rows, opts.ex_patch_cols
+        self.p = self.pr * self.pc
+        self.p_pad = _round8(self.p)
+        self.img_h, self.img_w = img_h, img_w
+        self.pad, self.hp, self.wp = pad, hp, wp
+
+        pid = jax.lax.broadcasted_iota(jnp.int32, (self.p_pad, 1), 0)
+        self.p_mask = pid < self.p
+        self.offx = jnp.where(
+            self.p_mask, pid % self.pc - self.pc // 2, 0).astype(jnp.float32)
+        self.offy = jnp.where(
+            self.p_mask, pid // self.pc - self.pr // 2, 0).astype(jnp.float32)
+        # tpu.iota only produces integers; cast to float after.
+        self.row_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (self.p_pad, WIN_R), 1).astype(jnp.float32)
+        self.col_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (self.p_pad, WIN_C), 1).astype(jnp.float32)
+
+    def load_window(self, img, center_x, center_y):
+        """Tile-aligned [WIN_R, WIN_C] window whose interior contains the
+        32x32 neighborhood of the (float) center. No in-register rolls —
+        the hat weights absorb the sub-tile offset (Mosaic's dynamic
+        sublane rotate miscompiles for some shift/shape combinations).
+        Returns (window, wr0, wc0) with the origin in unpadded coords."""
+        r_des = jnp.clip(
+            jnp.floor(center_y).astype(jnp.int32) - 16 + self.pad,
+            0, self.hp - 32)
+        c_des = jnp.clip(
+            jnp.floor(center_x).astype(jnp.int32) - 16 + self.pad,
+            0, self.wp - 32)
+        r8 = pl.multiple_of(
+            jnp.minimum((r_des // 8) * 8, self.hp - WIN_R), 8)
+        c128 = pl.multiple_of(
+            jnp.minimum((c_des // 128) * 128, self.wp - WIN_C), 128)
+        win = img[pl.ds(r8, WIN_R), pl.ds(c128, WIN_C)]
+        return win, r8 - self.pad, c128 - self.pad
+
+    def sample(self, window, wr0, wc0, pos_x, pos_y):
+        """Hat-weight bilinear sample of [P_pad, 1] positions from the
+        window. Returns (value, valid) — valid combines the reference's
+        global bound (floor in [0, dim-2]) with window coverage."""
+        lx = pos_x - wc0.astype(jnp.float32)
+        ly = pos_y - wr0.astype(jnp.float32)
+        rw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - self.row_lane))
+        cw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - self.col_lane))
+        # HIGHEST: the MXU's default bf16 rounding of the hat weights
+        # costs ~0.3 gray levels per sample — enough to break the
+        # |v|^2 < 4e-2 convergence threshold on real imagery.
+        t = jax.lax.dot_general(rw, window, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        val = jnp.sum(t * cw, axis=1, keepdims=True)
+
+        fx = jnp.floor(pos_x)
+        fy = jnp.floor(pos_y)
+        valid = ((fx >= 0) & (fx <= self.img_w - 2)
+                 & (fy >= 0) & (fy <= self.img_h - 2)
+                 & (jnp.floor(lx) >= 0) & (jnp.floor(lx) <= WIN_C - 2)
+                 & (jnp.floor(ly) >= 0) & (jnp.floor(ly) <= WIN_R - 2)
+                 & self.p_mask)
+        return jnp.where(valid, val, 0.0), valid
+
+    def ref_setup(self, ref_img_pad, rx, ry):
+        """Reference-patch quantities shared by both warp models: masked
+        inner patch, un-halved central-difference gradients, validity, and
+        the extended-patch valid count that drives the OUTSIDE status."""
+        window, wr0, wc0 = self.load_window(ref_img_pad, rx, ry)
+        px = rx + self.offx
+        py = ry + self.offy
+        s_c, v_c = self.sample(window, wr0, wc0, px, py)
+        s_l, v_l = self.sample(window, wr0, wc0, px - 1.0, py)
+        s_r, v_r = self.sample(window, wr0, wc0, px + 1.0, py)
+        s_t, v_t = self.sample(window, wr0, wc0, px, py - 1.0)
+        s_b, v_b = self.sample(window, wr0, wc0, px, py + 1.0)
+        gvalid = v_l & v_r & v_t & v_b
+        dx = jnp.where(gvalid, s_r - s_l, 0.0)
+        dy = jnp.where(gvalid, s_b - s_t, 0.0)
+
+        # Valid-pixel count of the FULL extended patch (epr x epc), which
+        # decides the initial OUTSIDE status (optical_flow.cpp:49-102).
+        qid = jax.lax.broadcasted_iota(jnp.int32,
+                                       (_round8(self.epr * self.epc), 1), 0)
+        q_mask = qid < self.epr * self.epc
+        eox = (qid % self.epc - self.epc // 2).astype(jnp.float32)
+        eoy = (qid // self.epc - self.epr // 2).astype(jnp.float32)
+        ex_fx = jnp.floor(rx + eox)
+        ex_fy = jnp.floor(ry + eoy)
+        ex_valid = ((ex_fx >= 0) & (ex_fx <= self.img_w - 2)
+                    & (ex_fy >= 0) & (ex_fy <= self.img_h - 2) & q_mask)
+        n_valid_ref = jnp.sum(ex_valid.astype(jnp.int32))
+        return s_c, v_c, dx, dy, n_valid_ref
+
+
+def _status0(no_pixels):
+    return jnp.where(no_pixels, jnp.int32(int(TrackStatus.OUTSIDE)),
+                     jnp.int32(int(TrackStatus.LARGE_RESIDUAL)))
+
+
+def _advance(carry_done, carry_status, carry_last, carry_cnt, v_list,
+             num_valid, opts):
+    """The shared fast-mode break machine (engine.py semantics). Returns
+    (do_update, new_status, new_last, new_cnt, new_done)."""
+    done, status, last_sq, cnt = (carry_done, carry_status, carry_last,
+                                  carry_cnt)
+    no_valid = num_valid == 0
+    isnan = jnp.bool_(False)
+    sq = jnp.float32(0.0)
+    for v in v_list:
+        isnan = isnan | jnp.isnan(v)
+        sq = sq + v * v
+    do_update = jnp.logical_not(done | no_valid | isnan)
+    shrink = sq < last_sq
+    new_last = jnp.where(do_update & shrink, sq, last_sq)
+    new_cnt = jnp.where(do_update, jnp.where(shrink, 0, cnt + 1), cnt)
+    diverged = do_update & (new_cnt >= opts.max_tolerance_large_step)
+    converged = (do_update & (sq < opts.max_converge_step)
+                 & jnp.logical_not(diverged))
+    new_status = jnp.where(
+        isnan & jnp.logical_not(done | no_valid),
+        jnp.int32(int(TrackStatus.NUMERIC_ERROR)),
+        jnp.where(converged, jnp.int32(int(TrackStatus.TRACKED)), status))
+    new_status = jnp.where(done, status, new_status)
+    new_done = done | no_valid | isnan | diverged | converged
+    return do_update, new_status, new_last, new_cnt, new_done
+
+
+def _affine_kernel(ref_pad, cur_pad, ref_x, ref_y, cur_x, cur_y,
+                   a00, a01, a10, a11,
+                   out_x, out_y, o00, o01, o10, o11, out_status, *,
+                   opts: KltOptions, img_h, img_w, pad, hp, wp, n_features):
+    smp = _Sampler(opts, img_h, img_w, pad, hp, wp)
+    tile_base = pl.program_id(0) * TILE
+
+    def one_feature(f, _):
+        @pl.when(tile_base + f < n_features)
+        def _():
+            inner, inner_valid, dx, dy, n_ref = smp.ref_setup(
+                ref_pad, ref_x[f], ref_y[f])
+            x_ent, y_ent = cur_x[f], cur_y[f]
+            # H precomputed once per level with x,y anchored at the
+            # level-entry position (affine_klt_fast.cpp:95-137). The
+            # absolute pixel coordinates make cond(H) ~ coord^4 — fatal
+            # for an unpivoted float32 Cholesky — so the system is
+            # equilibrated by the coordinate scale: solve (DHD)w = Db,
+            # z = Dw with D = diag(1/s,1/s,1/s,1/s,1,1).
+            scl = jnp.maximum(jnp.maximum(jnp.abs(x_ent), jnp.abs(y_ent)),
+                              1.0)
+            dvec = [1.0 / scl] * 4 + [jnp.float32(1.0)] * 2
+            x0 = smp.offx + x_ent
+            y0 = smp.offy + y_ent
+            j6 = [x0 * dx, x0 * dy, y0 * dx, y0 * dy, dx, dy]
+            hess = [[jnp.sum(j6[i] * j6[j]) * dvec[i] * dvec[j]
+                     for j in range(i + 1)] for i in range(6)]
+            for i in range(6):
+                hess[i] += [None] * (5 - i)
+            for i in range(6):
+                for j in range(i + 1, 6):
+                    hess[i][j] = hess[j][i]
+
+            no_pixels = n_ref == 0
+
+            def body(_, carry):
+                (x, y, c00, c01, c10, c11, status, last_sq, cnt,
+                 done) = carry
+                wx = c00 * smp.offx + c01 * smp.offy + x
+                wy = c10 * smp.offx + c11 * smp.offy + y
+                window, wr0, wc0 = smp.load_window(cur_pad, x, y)
+                curv, okcur = smp.sample(window, wr0, wc0, wx, wy)
+                valid = okcur & inner_valid
+                dt = jnp.where(valid, curv - inner, 0.0)
+                xw = jnp.where(valid, wx, 0.0)
+                yw = jnp.where(valid, wy, 0.0)
+                b = [-jnp.sum(dt * xw * dx), -jnp.sum(dt * xw * dy),
+                     -jnp.sum(dt * yw * dx), -jnp.sum(dt * yw * dy),
+                     -jnp.sum(dt * dx), -jnp.sum(dt * dy)]
+                w = _chol_solve(hess, [b[i] * dvec[i] for i in range(6)])
+                z = [w[i] * dvec[i] for i in range(6)]
+                vx = z[0] * x + z[2] * y + z[4]
+                vy = z[1] * x + z[3] * y + z[5]
+                num_valid = jnp.sum(valid.astype(jnp.int32))
+                upd, status, last_sq, cnt, done = _advance(
+                    done, status, last_sq, cnt, [vx, vy], num_valid, opts)
+                return (jnp.where(upd, x + vx, x),
+                        jnp.where(upd, y + vy, y),
+                        jnp.where(upd, c00 + z[0], c00),
+                        jnp.where(upd, c01 + z[2], c01),
+                        jnp.where(upd, c10 + z[1], c10),
+                        jnp.where(upd, c11 + z[3], c11),
+                        status, last_sq, cnt, done)
+
+            (x, y, c00, c01, c10, c11, status, _, _, _) = jax.lax.fori_loop(
+                0, opts.max_iterations, body,
+                (x_ent, y_ent, a00[f], a01[f], a10[f], a11[f],
+                 _status0(no_pixels), jnp.float32(jnp.inf), jnp.int32(0),
+                 no_pixels))
+            out_x[f] = x
+            out_y[f] = y
+            o00[f] = c00
+            o01[f] = c01
+            o10[f] = c10
+            o11[f] = c11
+            out_status[f] = status
+        return 0
+
+    jax.lax.fori_loop(0, TILE, one_feature, 0)
+
+
+def _lssd_kernel(ref_pad, cur_pad, ref_x, ref_y, r00, r01, r10, r11, tx, ty,
+                 o00, o01, o10, o11, otx, oty, out_status, *,
+                 opts: KltOptions, luminance: bool, img_h, img_w, pad, hp,
+                 wp, n_features):
+    smp = _Sampler(opts, img_h, img_w, pad, hp, wp)
+    tile_base = pl.program_id(0) * TILE
+    pr, pc = opts.patch_rows, opts.patch_cols
+    # Inner-of-patch mask for the reference's luminance-mean numerator
+    # (lssd_klt_fast.cpp:66-73 sums rows/cols 1..n-2 of the patch grid).
+    in11 = ((jnp.abs(smp.offx) <= pc // 2 - 1)
+            & (jnp.abs(smp.offy) <= pr // 2 - 1))
+
+    def one_feature(f, _):
+        @pl.when(tile_base + f < n_features)
+        def _():
+            rx, ry = ref_x[f], ref_y[f]
+            inner, inner_valid, dx, dy, n_ref = smp.ref_setup(ref_pad, rx,
+                                                              ry)
+            if luminance:
+                ref_mean = (jnp.sum(inner)
+                            / jnp.maximum(n_ref.astype(jnp.float32), 1.0))
+                dx = dx / ref_mean
+                dy = dy / ref_mean
+                inner = inner / ref_mean
+            px = rx + smp.offx
+            py = ry + smp.offy
+            jrx = -py        # d(pos)/dtheta = R @ (-row, col)
+            jry = px
+            no_pixels = n_ref == 0
+
+            def body(_, carry):
+                (c00, c01, c10, c11, cx, cy, status, last_sq, cnt,
+                 done) = carry
+                wx = c00 * px + c01 * py + cx
+                wy = c10 * px + c11 * py + cy
+                # Window centered at the current feature position.
+                center_x = c00 * rx + c01 * ry + cx
+                center_y = c10 * rx + c11 * ry + cy
+                window, wr0, wc0 = smp.load_window(cur_pad, center_x,
+                                                   center_y)
+                curv, okcur = smp.sample(window, wr0, wc0, wx, wy)
+                cur_patch = curv
+                if luminance:
+                    n_cur = jnp.sum(okcur.astype(jnp.float32))
+                    cur_mean = (jnp.sum(jnp.where(in11, cur_patch, 0.0))
+                                / jnp.maximum(n_cur, 1.0))
+                    cur_patch = cur_patch / cur_mean
+                valid = okcur & inner_valid
+                residual = jnp.where(valid, cur_patch - inner, 0.0)
+                jt_x = c00 * jrx + c01 * jry
+                jt_y = c10 * jrx + c11 * jry
+                jtheta = jnp.where(valid, dx * jt_x + dy * jt_y, 0.0)
+                jdx = jnp.where(valid, dx, 0.0)
+                jdy = jnp.where(valid, dy, 0.0)
+                hess = [[jnp.sum(jtheta * jtheta)],
+                        [jnp.sum(jdx * jtheta), jnp.sum(jdx * jdx)],
+                        [jnp.sum(jdy * jtheta), jnp.sum(jdy * jdx),
+                         jnp.sum(jdy * jdy)]]
+                h3 = [[hess[max(i, j)][min(i, j)] for j in range(3)]
+                      for i in range(3)]
+                b = [-jnp.sum(jtheta * residual), -jnp.sum(jdx * residual),
+                     -jnp.sum(jdy * residual)]
+                v = _chol_solve(h3, b)
+                num_valid = jnp.sum(valid.astype(jnp.int32))
+                upd, status, last_sq, cnt, done = _advance(
+                    done, status, last_sq, cnt, v, num_valid, opts)
+                # rot @ [[1, -v0], [v0, 1]], then whole-matrix division by
+                # the first column's norm (lssd_klt.cpp:113-117).
+                n00 = c00 + c01 * v[0]
+                n01 = c01 - c00 * v[0]
+                n10 = c10 + c11 * v[0]
+                n11 = c11 - c10 * v[0]
+                norm = jnp.sqrt(n00 * n00 + n10 * n10)
+                return (jnp.where(upd, n00 / norm, c00),
+                        jnp.where(upd, n01 / norm, c01),
+                        jnp.where(upd, n10 / norm, c10),
+                        jnp.where(upd, n11 / norm, c11),
+                        jnp.where(upd, cx + v[1], cx),
+                        jnp.where(upd, cy + v[2], cy),
+                        status, last_sq, cnt, done)
+
+            (c00, c01, c10, c11, cx, cy, status, _, _, _) = (
+                jax.lax.fori_loop(
+                    0, opts.max_iterations, body,
+                    (r00[f], r01[f], r10[f], r11[f], tx[f], ty[f],
+                     _status0(no_pixels), jnp.float32(jnp.inf),
+                     jnp.int32(0), no_pixels)))
+            o00[f] = c00
+            o01[f] = c01
+            o10[f] = c10
+            o11[f] = c11
+            otx[f] = cx
+            oty[f] = cy
+            out_status[f] = status
+        return 0
+
+    jax.lax.fori_loop(0, TILE, one_feature, 0)
+
+
+def _prep(opts, ref_img, *vecs):
+    """Shared padding/layout plumbing. Returns (n, n_pad, padded images
+    geometry dict, padded 1D vectors)."""
+    n = vecs[0].shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    out = [jnp.pad(v, (0, n_pad - n)) for v in vecs]
+    return n, n_pad, out
+
+
+def _pad_images(opts, ref_img, cur_img):
+    pad = max(opts.ex_patch_rows, opts.ex_patch_cols) + 3
+    h, w = ref_img.shape
+    hp = _round8(max(h + 2 * pad, WIN_R))
+    wp = ((max(w + 2 * pad, WIN_C) + 127) // 128) * 128
+    ref_pad = jnp.pad(ref_img, ((pad, hp - h - pad), (pad, wp - w - pad)))
+    cur_pad = jnp.pad(cur_img, ((pad, hp - h - pad), (pad, wp - w - pad)))
+    return ref_pad, cur_pad, pad, h, w, hp, wp
+
+
+def _smem_vec():
+    return pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "interpret"))
+def affine_track_level_pallas(opts: KltOptions, ref_img, cur_img, ref_uv,
+                              cur_uv, affine, interpret: bool = False):
+    """Fast-mode affine level tracker.
+
+    Returns (uv [N,2], affine [N,2,2], status [N] int8)."""
+    ref_pad, cur_pad, pad, h, w, hp, wp = _pad_images(opts, ref_img, cur_img)
+    n, n_pad, vecs = _prep(
+        opts, ref_img,
+        ref_uv[:, 0], ref_uv[:, 1], cur_uv[:, 0], cur_uv[:, 1],
+        affine[:, 0, 0], affine[:, 0, 1], affine[:, 1, 0], affine[:, 1, 1])
+
+    kernel = functools.partial(_affine_kernel, opts=opts, img_h=h, img_w=w,
+                               pad=pad, hp=hp, wp=wp, n_features=n)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [_smem_vec()] * 8,
+        out_specs=tuple([_smem_vec()] * 7),
+        out_shape=tuple([jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * 6
+                        + [jax.ShapeDtypeStruct((n_pad,), jnp.int32)]),
+        interpret=interpret,
+    )(ref_pad, cur_pad, *vecs)
+    uv = jnp.stack([outs[0][:n], outs[1][:n]], axis=-1)
+    aff = jnp.stack([jnp.stack([outs[2][:n], outs[3][:n]], -1),
+                     jnp.stack([outs[4][:n], outs[5][:n]], -1)], axis=-2)
+    return uv, aff, outs[6][:n].astype(jnp.int8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("opts", "luminance", "interpret"))
+def lssd_track_level_pallas(opts: KltOptions, luminance: bool, ref_img,
+                            cur_img, ref_uv, rot, t,
+                            interpret: bool = False):
+    """Fast-mode LSSD level tracker.
+
+    Returns (rot [N,2,2], t [N,2], status [N] int8)."""
+    ref_pad, cur_pad, pad, h, w, hp, wp = _pad_images(opts, ref_img, cur_img)
+    n, n_pad, vecs = _prep(
+        opts, ref_img,
+        ref_uv[:, 0], ref_uv[:, 1],
+        rot[:, 0, 0], rot[:, 0, 1], rot[:, 1, 0], rot[:, 1, 1],
+        t[:, 0], t[:, 1])
+
+    kernel = functools.partial(_lssd_kernel, opts=opts, luminance=luminance,
+                               img_h=h, img_w=w, pad=pad, hp=hp, wp=wp,
+                               n_features=n)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [_smem_vec()] * 8,
+        out_specs=tuple([_smem_vec()] * 7),
+        out_shape=tuple([jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * 6
+                        + [jax.ShapeDtypeStruct((n_pad,), jnp.int32)]),
+        interpret=interpret,
+    )(ref_pad, cur_pad, *vecs)
+    new_rot = jnp.stack([jnp.stack([outs[0][:n], outs[1][:n]], -1),
+                         jnp.stack([outs[2][:n], outs[3][:n]], -1)], axis=-2)
+    new_t = jnp.stack([outs[4][:n], outs[5][:n]], axis=-1)
+    return new_rot, new_t, outs[6][:n].astype(jnp.int8)

@@ -141,6 +141,15 @@ def _iterative_one(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv0,
 
 def track_level(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv, affine,
                 status):
+    if opts.method == KltMethod.FAST and jax.default_backend() == "tpu":
+        # The per-pixel warped bilinear sampling below lowers to HBM
+        # gathers on TPU; the Pallas kernel keeps images in VMEM and
+        # samples via separable hat-weight matmuls instead.
+        from feature_tracker_tpu.ops.pallas_warp_klt import (
+            affine_track_level_pallas,
+        )
+        return affine_track_level_pallas(opts, ref_img, cur_img, ref_uv,
+                                         cur_uv, affine)
     one = _fast_one if opts.method == KltMethod.FAST else _iterative_one
     return jax.vmap(partial(one, opts, ref_img, cur_img))(
         ref_uv, cur_uv, affine, status)

@@ -160,6 +160,13 @@ def _iterative_one(opts: KltOptions, ref_img, cur_img, ref_uv, rot0, t0,
 
 def track_level(opts: KltOptions, luminance: bool, ref_img, cur_img, ref_uv,
                 rot, t, status):
+    if opts.method == KltMethod.FAST and jax.default_backend() == "tpu":
+        # See affine.track_level: Pallas replaces the HBM-gather sampling.
+        from feature_tracker_tpu.ops.pallas_warp_klt import (
+            lssd_track_level_pallas,
+        )
+        return lssd_track_level_pallas(opts, luminance, ref_img, cur_img,
+                                       ref_uv, rot, t)
     if opts.method == KltMethod.FAST:
         one = partial(_fast_one, opts, luminance, ref_img, cur_img)
     else:
