@@ -56,6 +56,10 @@ class RaftConfig:
     motion_out_channels: int = 32
     mask_hidden_channels: int = 64
     max_iterations: int = 5
+    # True: never materialize the [B*H*W, H, W] all-pairs volume; compute
+    # windowed correlations on the fly (O(HW) memory, required at real
+    # resolutions where the volume is hundreds of MB per frame).
+    low_memory: bool = False
     dtype: jnp.dtype = jnp.float32  # compute dtype (bfloat16 for perf)
 
 
@@ -131,6 +135,87 @@ def compute_correlation_pyramid(fmap0, fmap1, num_levels: int):
                          + prev[:, 0:h2:2, 1:w2:2] + prev[:, 1:h2:2, 1:w2:2])
         pyramid.append(pooled)
     return pyramid
+
+
+def pool_feature_pyramid(fmap1, num_levels: int):
+    """Half-resolution 2x2-average pyramid of the SECOND image's feature
+    map. Because correlation is linear in f1, pooling the features first
+    and dotting later equals pooling the correlation volume
+    (compute_correlation_pyramid) exactly — without ever materializing
+    the [B*H*W, H, W] volume. Returns list of ``[B, h_i, w_i, C]``."""
+    pyr = [fmap1]
+    for _ in range(num_levels - 1):
+        prev = pyr[-1]
+        h2 = (prev.shape[1] // 2) * 2
+        w2 = (prev.shape[2] // 2) * 2
+        pyr.append(0.25 * (prev[:, 0:h2:2, 0:w2:2]
+                           + prev[:, 1:h2:2, 0:w2:2]
+                           + prev[:, 0:h2:2, 1:w2:2]
+                           + prev[:, 1:h2:2, 1:w2:2]))
+    return pyr
+
+
+def _gather_rows(fmap, yi, xi):
+    """Zero-padded row gather from ``[h, w, C]`` at integer (yi, xi)
+    [..., any shape]; out-of-range reads 0. Returns [..., C]."""
+    h, w, _ = fmap.shape
+    ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+    rows = fmap.reshape(h * w, -1)[flat.reshape(-1)]
+    rows = rows.reshape(yi.shape + (fmap.shape[-1],))
+    return jnp.where(ok[..., None], rows, 0.0)
+
+
+def lookup_correlation_otf(fmap0, fmap1_pyramid, locations, radius: int):
+    """Memory-light correlation lookup: compute the windowed correlations
+    on the fly instead of sampling a precomputed all-pairs volume
+    (SURVEY §5 long-context analogue: the [HW, HW] volume is O((HW)^2)
+    memory; this path is O(HW * L * (2r+1)^2)). Numerically equal to
+    compute_correlation_pyramid + lookup_correlation because pooling
+    commutes with the dot product and both use zero-padded bilinear taps.
+
+    Args:
+      fmap0: ``[B, H, W, C]``; fmap1_pyramid: list of ``[B, h, w, C]``;
+      locations: ``[B, H, W, 2]``.
+
+    Returns:
+      ``[B, H, W, L*(2r+1)^2]``.
+    """
+    b, h, w, c = fmap0.shape
+    k = 2 * radius + 1
+    scale = 1.0 / jnp.sqrt(jnp.asarray(c, fmap0.dtype))
+    f0 = fmap0.reshape(b, h * w, c) * scale
+    d = jnp.arange(-radius, radius + 1, dtype=locations.dtype)
+    dxx, dyy = jnp.meshgrid(d, d)
+    offsets = jnp.stack([dxx.reshape(-1), dyy.reshape(-1)], axis=-1)
+
+    centers = locations.reshape(b, h * w, 2)
+    out = []
+    for lvl, f1 in enumerate(fmap1_pyramid):
+        base = centers / (2.0 ** lvl)
+
+        def one_offset(off, f1=f1):
+            pos = base + off[None, None, :]
+            x0 = jnp.floor(pos[..., 0])
+            y0 = jnp.floor(pos[..., 1])
+            fx = pos[..., 0] - x0
+            fy = pos[..., 1] - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+
+            def tap(yi, xi, wgt):
+                rows = jax.vmap(_gather_rows)(f1, yi, xi)   # [B, HW, C]
+                return wgt * jnp.einsum("bnc,bnc->bn", f0, rows,
+                                        precision="highest")
+
+            return (tap(y0i, x0i, (1 - fy) * (1 - fx))
+                    + tap(y0i, x0i + 1, (1 - fy) * fx)
+                    + tap(y0i + 1, x0i, fy * (1 - fx))
+                    + tap(y0i + 1, x0i + 1, fy * fx))   # [B, HW]
+
+        corr = jax.lax.map(one_offset, offsets)             # [K2, B, HW]
+        out.append(corr.transpose(1, 2, 0).reshape(b, h, w, k * k))
+    return jnp.concatenate(out, axis=-1)
 
 
 def _bilinear_zeros(vol, pos):
@@ -291,8 +376,13 @@ class Raft(nn.Module):
         inp = ctx[..., :c.context_channels]
         net = ctx[..., c.context_channels:]
 
-        pyramid = compute_correlation_pyramid(
-            fmap0, fmap1, c.correlation_pyramid_levels)
+        if c.low_memory:
+            # O(HW) path: pooled feature pyramid + on-the-fly windowed
+            # correlation (numerically equal; see lookup_correlation_otf).
+            fpyr = pool_feature_pyramid(fmap1, c.correlation_pyramid_levels)
+        else:
+            pyramid = compute_correlation_pyramid(
+                fmap0, fmap1, c.correlation_pyramid_levels)
 
         b, h, w, _ = fmap0.shape
         xs = jnp.arange(w, dtype=jnp.float32)
@@ -305,8 +395,13 @@ class Raft(nn.Module):
 
         def step(mdl, carry, _):
             net_, cur_locs = carry
-            corr = lookup_correlation(pyramid, cur_locs,
-                                      c.correlation_radius).astype(c.dtype)
+            if c.low_memory:
+                corr = lookup_correlation_otf(
+                    fmap0, fpyr, cur_locs, c.correlation_radius
+                ).astype(c.dtype)
+            else:
+                corr = lookup_correlation(
+                    pyramid, cur_locs, c.correlation_radius).astype(c.dtype)
             flow = (cur_locs - ref_locs).astype(c.dtype)
             net_, up_mask, delta = mdl(net_, inp, corr, flow)
             cur_locs = cur_locs + delta.astype(jnp.float32)

@@ -59,3 +59,46 @@ def test_raft_forward_shapes():
     preds = model.apply(vars_, ref, cur)
     assert preds.shape == (2, 1, 48, 48, 2)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_low_memory_correlation_matches_materialized():
+    """The on-the-fly windowed correlation must equal the all-pairs
+    volume path (pooling commutes with the dot product)."""
+    from feature_tracker_tpu.models.raft import (
+        compute_correlation_pyramid,
+        lookup_correlation,
+        lookup_correlation_otf,
+        pool_feature_pyramid,
+    )
+    rng = np.random.default_rng(0)
+    b, h, w, c = 2, 12, 16, 8
+    f0 = jnp.asarray(rng.normal(0, 1, (b, h, w, c)), jnp.float32)
+    f1 = jnp.asarray(rng.normal(0, 1, (b, h, w, c)), jnp.float32)
+    locs = jnp.asarray(rng.uniform(-2, max(h, w) + 2, (b, h, w, 2)),
+                       jnp.float32)
+    pyr = compute_correlation_pyramid(f0, f1, 3)
+    want = lookup_correlation(pyr, locs, radius=2)
+    got = lookup_correlation_otf(f0, pool_feature_pyramid(f1, 3), locs,
+                                 radius=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_raft_low_memory_flag_end_to_end():
+    from feature_tracker_tpu.models.raft import Raft, RaftConfig
+    rng = np.random.default_rng(1)
+    ref = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 1)), jnp.float32)
+    cur = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 1)), jnp.float32)
+    kw = dict(max_iterations=2, feature_channels=16, context_channels=16,
+              hidden_channels=8, correlation_pyramid_levels=2,
+              correlation_radius=1, correlation_hidden_channels=8,
+              correlation_out_channels=4, flow_hidden_channels=4,
+              flow_out_channels=4, motion_out_channels=4,
+              mask_hidden_channels=8)
+    m_full = Raft(RaftConfig(**kw))
+    m_low = Raft(RaftConfig(low_memory=True, **kw))
+    variables = m_full.init(jax.random.PRNGKey(0), ref, cur)
+    out_full = m_full.apply(variables, ref, cur)
+    out_low = m_low.apply(variables, ref, cur)
+    np.testing.assert_allclose(np.asarray(out_low), np.asarray(out_full),
+                               rtol=2e-4, atol=2e-4)
