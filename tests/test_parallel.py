@@ -181,3 +181,60 @@ def test_reprojection_rms_zero_at_ground_truth():
                            jnp.asarray(uv), jnp.asarray(mask),
                            jnp.asarray(k4))
     assert float(rms) < 1e-3
+
+
+def test_sliding_window_ba_end_to_end():
+    """Full back-end flow: keyframes + landmarks + observations in,
+    refined state out; noisy poses pulled toward truth."""
+    from feature_tracker_tpu.parallel.window_ba import (
+        SlidingWindowBa,
+        WindowConfig,
+    )
+
+    rng = np.random.default_rng(0)
+    k4 = np.array([200.0, 200.0, 160.0, 120.0], np.float32)
+    win = SlidingWindowBa(k4, WindowConfig(max_keyframes=4,
+                                           max_landmarks=64,
+                                           obs_per_landmark=4),
+                          BaOptions(max_iterations=6, num_fixed_poses=2))
+
+    t_true = np.stack([np.zeros(4), np.zeros(4),
+                       -0.3 * np.arange(4)], -1).astype(np.float32)
+    lm_true = np.stack([rng.uniform(-3, 3, 48), rng.uniform(-2, 2, 48),
+                        rng.uniform(8, 14, 48)], -1).astype(np.float32)
+    for i in range(4):
+        noise = 0.0 if i < 2 else rng.normal(0, 0.05, 3)
+        win.add_keyframe([1, 0, 0, 0], t_true[i] + noise)
+    for j in range(48):
+        slot = win.add_landmark(lm_true[j] + rng.normal(0, 0.05, 3))
+        for i in range(4):
+            p_c = lm_true[j] + t_true[i]
+            uv = np.array([k4[0] * p_c[0] / p_c[2] + k4[2],
+                           k4[1] * p_c[1] / p_c[2] + k4[3]])
+            win.add_observation(slot, i, uv + rng.normal(0, 0.2, 2))
+
+    rms = win.optimize()
+    assert rms[-1] < rms[0]
+    assert rms[-1] < 0.5
+    assert np.abs(win.t_cw[2:4] - t_true[2:4]).max() < 0.03
+
+
+def test_sliding_window_slides_and_drops_oldest():
+    from feature_tracker_tpu.parallel.window_ba import (
+        SlidingWindowBa,
+        WindowConfig,
+    )
+    k4 = np.array([100.0, 100.0, 50.0, 50.0], np.float32)
+    win = SlidingWindowBa(k4, WindowConfig(max_keyframes=2,
+                                           max_landmarks=4,
+                                           obs_per_landmark=2))
+    win.add_keyframe([1, 0, 0, 0], [0, 0, 0])
+    win.add_keyframe([1, 0, 0, 0], [0, 0, -1])
+    s = win.add_landmark([0, 0, 5])
+    win.add_observation(s, 0, [50, 50])
+    win.add_observation(s, 1, [50, 50])
+    win.add_keyframe([1, 0, 0, 0], [0, 0, -2])  # slides
+    # Keyframe-0 observation dropped, keyframe-1's shifted to slot 0.
+    assert win.obs_mask[s].sum() == 1
+    assert win.obs_pose[s][win.obs_mask[s]][0] == 0
+    np.testing.assert_allclose(win.t_cw[1], [0, 0, -2])
