@@ -71,7 +71,10 @@ class HarrisOptions:
     min_feature_distance: int = 25
     min_valid_response: float = 40.0
     # Number of local-max candidates considered before radius suppression.
-    max_candidates: int = 1024
+    # Sized so large min-distance settings still reach the caller's
+    # max_num after suppression (1024 capped the reference demo at ~146
+    # of the expected ~250+ corners).
+    max_candidates: int = 4096
     # Half window of the box filter over the structure tensor.
     window_half_size: int = 1
 

@@ -122,12 +122,7 @@ def select_keypoints(heatmap, max_num: int, min_response,
     valid = top_scores > -jnp.inf
     d2 = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
     conflict = d2 < float(min_distance) ** 2
-
-    def body(i, keep):
-        earlier = keep & (jnp.arange(k) < i)
-        return keep.at[i].set(valid[i] & ~jnp.any(earlier & conflict[i]))
-
-    keep = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    keep = _detect.greedy_suppression(valid, conflict)
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
     slot = jnp.where(keep & (rank < max_num), rank, max_num)
     out_x = jnp.full((max_num + 1,), -1.0).at[slot].set(cx, mode="drop")

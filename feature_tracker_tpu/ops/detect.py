@@ -50,6 +50,63 @@ def shi_tomasi_response(img, window_half_size: int = 1):
     return 0.5 * (tr - d)
 
 
+def _chaotic_greedy(valid, higher_f):
+    """Chaotic iteration of the greedy recurrence: a candidate is DECIDED
+    once every higher-ranked conflicting candidate is decided, so whole
+    independent groups resolve per round (exact — only final inputs are
+    ever committed). Rounds = depth of the suppression chains."""
+
+    def round_(state):
+        decided, keep = state
+        # One fused 2-column matmul: column 0 counts kept higher
+        # conflicts (blocked), column 1 counts undecided ones (ready).
+        rhs = jnp.stack([jnp.where(keep, 1.0, 0.0),
+                         jnp.where(decided, 0.0, 1.0)], axis=-1)
+        counts = higher_f @ rhs
+        blocked = counts[:, 0] > 0.0
+        ready = counts[:, 1] == 0.0
+        new_keep = jnp.where(decided, keep, valid & ~blocked & ready)
+        return decided | ready, new_keep
+
+    k = valid.shape[0]
+    state = (jnp.zeros((k,), bool), jnp.zeros((k,), bool))
+    _, keep = jax.lax.while_loop(lambda s: ~jnp.all(s[0]), round_, state)
+    return keep
+
+
+def greedy_suppression(valid, conflict, chunk: int = 512):
+    """Exact greedy radius suppression in rank order, parallelized.
+
+    Equivalent to the sequential scan ``keep[i] = valid[i] and no kept
+    j < i conflicts with i``. Candidates are processed in score-ordered
+    chunks: suppression from already-decided chunks is one masked matvec,
+    and each chunk resolves internally by chaotic iteration
+    (_chaotic_greedy) — bounding the memory traffic to chunk-sized
+    matrices instead of K x K per round (dense corner fields need O(100)
+    rounds, which made the unchunked version HBM-bound).
+
+    Args:
+      valid: ``[K]`` bool, candidates in descending score order.
+      conflict: ``[K, K]`` bool symmetric conflict matrix (self included).
+    """
+    k = valid.shape[0]
+    chunk = min(chunk, k)
+    keep = jnp.zeros((k,), bool)
+    for c0 in range(0, k, chunk):
+        c1 = min(c0 + chunk, k)
+        block = conflict[c0:c1]
+        sub_valid = valid[c0:c1]
+        if c0 > 0:
+            prev = block[:, :c0].astype(jnp.float32)
+            sub_valid = sub_valid & (
+                prev @ jnp.where(keep[:c0], 1.0, 0.0) == 0.0)
+        n = c1 - c0
+        tri = (jnp.arange(n)[None, :] < jnp.arange(n)[:, None])
+        higher = (block[:, c0:c1] & tri).astype(jnp.float32)
+        keep = keep.at[c0:c1].set(_chaotic_greedy(sub_valid, higher))
+    return keep
+
+
 @partial(jax.jit, static_argnames=("max_num", "opts"))
 def detect_good_features(img, max_num: int, opts: HarrisOptions = HarrisOptions()):
     """Detect up to ``max_num`` corners with min-distance suppression.
@@ -90,13 +147,7 @@ def detect_good_features(img, max_num: int, opts: HarrisOptions = HarrisOptions(
     d2 = ((cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2)
     min_d2 = float(opts.min_feature_distance) ** 2
     conflict = d2 < min_d2  # includes self
-
-    def body(i, keep):
-        earlier_kept = keep & (jnp.arange(k) < i)
-        suppressed = jnp.any(earlier_kept & conflict[i])
-        return keep.at[i].set(valid[i] & ~suppressed)
-
-    keep = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+    keep = greedy_suppression(valid, conflict)
 
     # Compact the first max_num kept candidates (they are already in score
     # order). Rank via cumulative sum; scatter into the output slots.
