@@ -92,3 +92,28 @@ def test_render_detected_and_dense_flow_shapes():
 
 def test_report_functions_do_not_raise(capsys):
     report_info("hello")
+
+
+def test_stage_timer_accumulates():
+    from feature_tracker_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert rep["a"]["count"] == 2
+    assert rep["a"]["total_ms"] >= rep["b"]["total_ms"]
+
+
+def test_assert_finite_raises_on_nan():
+    import jax.numpy as jnp
+    import pytest
+    from feature_tracker_tpu.utils.profiling import assert_finite
+
+    assert_finite({"x": jnp.ones(3)})
+    with pytest.raises(FloatingPointError):
+        assert_finite({"x": jnp.array([1.0, jnp.nan])})
