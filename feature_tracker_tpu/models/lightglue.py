@@ -217,10 +217,10 @@ class LightGlue(nn.Module):
         sim = jnp.where(mask_ref[:, None] & mask_cur[None, :], sim, NEG_INF)
 
         match_logit = nn.Dense(1, dtype=c.dtype, name="matchability")
-        z0 = jax.nn.log_sigmoid(match_logit(x0)[:, 0])
-        z1 = jax.nn.log_sigmoid(match_logit(x1)[:, 0])
-        z0 = jnp.where(mask_ref, z0, NEG_INF)
-        z1 = jnp.where(mask_cur, z1, NEG_INF)
+        logit0 = match_logit(x0)[:, 0]
+        logit1 = match_logit(x1)[:, 0]
+        z0 = jnp.where(mask_ref, jax.nn.log_sigmoid(logit0), NEG_INF)
+        z1 = jnp.where(mask_cur, jax.nn.log_sigmoid(logit1), NEG_INF)
 
         # Dual-softmax log partial assignment.
         lsm_row = jax.nn.log_softmax(sim, axis=1)
@@ -228,7 +228,9 @@ class LightGlue(nn.Module):
         scores = lsm_row + lsm_col + z0[:, None] + z1[None, :]
         scores = jnp.where(mask_ref[:, None] & mask_cur[None, :],
                            scores, NEG_INF)
-        return scores, z0, z1
+        # Raw matchability logits are returned for the training loss
+        # (log(1 - sigma) = log_sigmoid(-logit) for unmatchable points).
+        return scores, logit0, logit1
 
 
 def mutual_argmax_matches(scores, min_score):
