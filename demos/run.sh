@@ -11,6 +11,6 @@ python3 dense_flow_demo.py
 python3 direct_method_demo.py
 python3 match_brief_demo.py
 python3 match_superpoint_demo.py
-for extra in match_disk_demo.py nn_matcher_demo.py; do
-    [ -f "$extra" ] && python3 "$extra"
-done
+python3 match_disk_demo.py
+python3 nn_matcher_demo.py
+python3 stream_demo.py

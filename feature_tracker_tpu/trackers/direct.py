@@ -48,7 +48,6 @@ from feature_tracker_tpu.core.geometry import (
     quat_rotate,
 )
 from feature_tracker_tpu.core.status import TrackStatus
-from feature_tracker_tpu.ops.interp import bilinear_sample
 from feature_tracker_tpu.ops.solve import solve_sym
 
 _EPS_Z = 1e-6

@@ -1,0 +1,93 @@
+"""Integration tests on the reference's bundled imagery (SURVEY §4b):
+track-survival counts and motion statistics on the real 752x480 pair.
+
+Skipped when the read-only reference mount is absent; imagery is loaded
+at runtime, never copied into the repo.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REF_DIR = "/root/reference/example/optical_flow"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF_DIR, "ref_image.png")),
+    reason="reference imagery not mounted")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from feature_tracker_tpu.utils.viz import load_gray_image
+    ref = load_gray_image(os.path.join(REF_DIR, "ref_image.png"))
+    cur = load_gray_image(os.path.join(REF_DIR, "cur_image.png"))
+    return jnp.asarray(ref), jnp.asarray(cur)
+
+
+@pytest.fixture(scope="module")
+def detected(pair):
+    from feature_tracker_tpu.core.config import HarrisOptions
+    from feature_tracker_tpu.ops.detect import detect_good_features
+    ref, _ = pair
+    uv, num = detect_good_features(
+        ref, 300, HarrisOptions(min_feature_distance=25,
+                                min_valid_response=40.0))
+    return np.asarray(uv)[:int(num)]
+
+
+def test_detection_reaches_demo_count(detected):
+    # The reference demo regime (cap 300, min distance 25) finds ~250
+    # corners on this image.
+    assert 230 <= len(detected) <= 300
+
+
+@pytest.mark.parametrize("kind,min_tracked", [
+    ("basic", 230), ("affine", 210), ("lssd", 185)])
+def test_klt_survival_on_reference_pair(pair, detected, kind, min_tracked):
+    from feature_tracker_tpu.core.config import KltOptions
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+    from feature_tracker_tpu.trackers.klt import AffineKlt, BasicKlt, LssdKlt
+    ref, cur = pair
+    rp = build_pyramid(ref, 4)
+    cp = build_pyramid(cur, 4)
+    cls = {"basic": BasicKlt, "affine": AffineKlt, "lssd": LssdKlt}[kind]
+    tracker = cls(KltOptions(max_track_points=300))
+    cur_uv, status = tracker.track(rp, cp, detected)
+    status = np.asarray(status)
+    tracked = (status == 1).sum()
+    assert tracked >= min_tracked, (kind, tracked, len(detected))
+    # Median flow magnitude on this pair is a few pixels, downward-ish.
+    flow = np.asarray(cur_uv)[status == 1] - detected[status == 1]
+    mag = np.linalg.norm(flow, axis=1)
+    assert 1.0 < np.median(mag) < 20.0
+
+
+def test_dense_flow_agrees_with_klt_median(pair, detected):
+    from feature_tracker_tpu.core.config import KltOptions
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+    from feature_tracker_tpu.trackers.dense import (
+        DenseFlowOptions,
+        DenseOpticalFlow,
+    )
+    from feature_tracker_tpu.trackers.klt import BasicKlt
+    ref, cur = pair
+    rp = build_pyramid(ref, 4)
+    cp = build_pyramid(cur, 4)
+    cur_uv, status = BasicKlt(KltOptions(max_track_points=300)).track(
+        rp, cp, detected)
+    status = np.asarray(status)
+    klt_flow = (np.asarray(cur_uv) - detected)[status == 1]
+
+    rp5 = build_pyramid(ref, 5, quantize=False)
+    cp5 = build_pyramid(cur, 5, quantize=False)
+    flow = np.asarray(DenseOpticalFlow(DenseFlowOptions(
+        half_patch_size=2, max_iterations=20)).track(rp5, cp5))
+    pos = detected[status == 1].astype(int)
+    dense_at = np.stack([flow[1][pos[:, 1], pos[:, 0]],
+                         flow[0][pos[:, 1], pos[:, 0]]], -1)  # (dx, dy)
+    # Median agreement within a pixel and a half on each axis.
+    med_diff = np.abs(np.median(dense_at - klt_flow, axis=0))
+    assert (med_diff < 1.5).all(), med_diff
