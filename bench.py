@@ -49,17 +49,24 @@ def main():
     tracker = BasicKlt(KltOptions(max_track_points=n))
 
     cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)  # compile
-    cur_uv.block_until_ready()
+    _ = np.asarray(cur_uv)
 
-    # Best of 3 windows: the remote-TPU tunnel's dispatch latency is
-    # noisy; the fastest window reflects the device's actual rate.
-    iters = 20
+    # IMPORTANT: time to full host materialization (np.asarray). On the
+    # axon tunnel, block_until_ready can return before execution
+    # completes, which silently reports dispatch time instead of compute
+    # (observed 0.4 ms "latency" for a 130 ms kernel). Fresh inputs per
+    # call rule out any result reuse. Best of 3 windows smooths tunnel
+    # noise.
+    rng2 = np.random.default_rng(1)
+    iters = 5
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)
-        cur_uv.block_until_ready()
+            uv_i = jnp.asarray(uv + rng2.uniform(-0.25, 0.25, uv.shape)
+                               .astype(np.float32))
+            cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv_i)
+            _ = np.asarray(cur_uv)
         dt = min(dt, (time.perf_counter() - t0) / iters)
 
     tracked = int((np.asarray(status) == 1).sum())

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the basic-KLT fast-mode level tracker.
+"""Pallas TPU kernel for the basic-KLT fast-mode tracker.
 
 The hot path of sparse KLT is, per feature per iteration, a bilinear
 window resample of the current image plus two dot products
@@ -7,12 +7,18 @@ window resample of the current image plus two dot products
 XLA lowers that to an HBM gather per iteration, which TPUs execute poorly
 (~870 ms for 10k features at 4 levels).
 
-This kernel keeps BOTH padded level images resident in VMEM (a 752x480
-float level is 1.4 MB; VMEM is ~16 MB) and runs the entire per-level
-Gauss-Newton iteration loop on-chip: the grid walks feature tiles, and for
-each feature one VMEM window slice per iteration feeds the fused
-bilinear + residual + J^T r reduction and the closed-form 2x2 solve. No
-HBM traffic happens inside the loop at all.
+This kernel keeps ALL padded pyramid levels resident in VMEM (a 752x480
+float level is 1.4 MB; VMEM is ~16 MB) and runs the ENTIRE coarse-to-fine
+tracking loop on-chip in one launch: per feature, each level precomputes
+the reference patch/gradients/2x2 Hessian and iterates the Gauss-Newton
+update, then doubles the coordinates for the next level. One program
+dispatch per frame, zero HBM traffic inside the loop.
+
+Sampling uses the roll-free hat-weight machinery shared with the
+affine/LSSD kernels (ops/pallas_warp_klt._Sampler): tile-aligned window
+loads with the sub-tile offset absorbed by the interpolation weights —
+Mosaic's dynamic sublane rotate miscompiles for several shift/shape
+combinations, so no in-register rolls anywhere.
 
 Semantics are bit-for-bit those of the jnp path (engine.py):
  - no valid reference pixel        -> OUTSIDE, position unchanged
@@ -20,6 +26,8 @@ Semantics are bit-for-bit those of the jnp path (engine.py):
  - squared step not shrinking max_tolerance_large_step consecutive times
                                     -> break, status stays LARGE_RESIDUAL
  - squared step < max_converge_step -> TRACKED, break
+Status is rewritten per level; failed-feature skipping and the final
+outside check stay in the jnp wrapper (trackers/klt/__init__.py).
 """
 
 from __future__ import annotations
@@ -28,214 +36,288 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from feature_tracker_tpu.core.config import KltOptions
 from feature_tracker_tpu.core.status import TrackStatus
+from feature_tracker_tpu.ops.pallas_warp_klt import (
+    TILE,
+    WIN_C,
+    WIN_R,
+    _advance,
+    _round8,
+    _Sampler,
+    _smem_vec,
+    _status0,
+    iterate_until_done,
+)
 
-# Feature tile per grid program. The grid is sequential on a TensorCore;
-# the tile mainly sizes the position/status SMEM blocks, and 1D SMEM
-# operands must match XLA's {0:T(1024)} layout tiling.
-TILE = 1024
+
+class _RigidSampler:
+    """Rigid (constant-bilinear-weight) patch sampler in 2D layout.
+
+    Basic KLT's patch is rigidly offset from the feature point, so the
+    whole [pr, pc] patch is one separable contraction of the window:
+    patch = R @ W @ C^T with R [pr, WIN_R] / C [pc, WIN_C] hat-weight
+    selection matrices — ~10x fewer FLOPs than the per-pixel flat-P
+    formulation the warped kernels need, and the [pr, pc] layout packs
+    into 2 VPU tiles instead of flat-P's 22."""
+
+    def __init__(self, opts: KltOptions, img_h, img_w, pad, hp, wp,
+                 rows=None, cols=None):
+        self.pr = opts.patch_rows if rows is None else rows
+        self.pc = opts.patch_cols if cols is None else cols
+        self.img_h, self.img_w = img_h, img_w
+        self.pad, self.hp, self.wp = pad, hp, wp
+        pr, pc = self.pr, self.pc
+        self.r_i = jax.lax.broadcasted_iota(jnp.int32, (pr, WIN_R), 0)
+        self.r_r = jax.lax.broadcasted_iota(jnp.int32, (pr, WIN_R), 1)
+        self.c_j = jax.lax.broadcasted_iota(jnp.int32, (pc, WIN_C), 0)
+        self.c_c = jax.lax.broadcasted_iota(jnp.int32, (pc, WIN_C), 1)
+        self.v_i = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 0)
+        self.v_j = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 1)
+
+    def load_window(self, img, center_x, center_y):
+        r_des = jnp.clip(
+            jnp.floor(center_y).astype(jnp.int32) - 16 + self.pad,
+            0, self.hp - 32)
+        c_des = jnp.clip(
+            jnp.floor(center_x).astype(jnp.int32) - 16 + self.pad,
+            0, self.wp - 32)
+        r8 = pl.multiple_of(
+            jnp.minimum((r_des // 8) * 8, self.hp - WIN_R), 8)
+        c128 = pl.multiple_of(
+            jnp.minimum((c_des // 128) * 128, self.wp - WIN_C), 128)
+        win = img[pl.ds(r8, WIN_R), pl.ds(c128, WIN_C)]
+        return win, r8 - self.pad, c128 - self.pad
+
+    def sample(self, window, wr0, wc0, x, y, dr=0.0, dc=0.0):
+        """Const-weight [pr, pc] patch at (x, y) shifted by integer
+        (dr, dc). Returns (patch, valid) — valid per the reference bound
+        (floor anchor in [0, dim-2])."""
+        ly0 = y + dr - self.pr // 2 - wr0.astype(jnp.float32)
+        lx0 = x + dc - self.pc // 2 - wc0.astype(jnp.float32)
+        rw = jnp.maximum(
+            0.0, 1.0 - jnp.abs(ly0 + self.r_i.astype(jnp.float32)
+                               - self.r_r.astype(jnp.float32)))
+        cw = jnp.maximum(
+            0.0, 1.0 - jnp.abs(lx0 + self.c_j.astype(jnp.float32)
+                               - self.c_c.astype(jnp.float32)))
+        t = jax.lax.dot_general(rw, window, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        patch = jax.lax.dot_general(t, cw, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+        valid = self.validity_at(x, y, dr, dc)
+        return jnp.where(valid, patch, 0.0), valid
+
+    def validity_at(self, x, y, dr=0, dc=0):
+        """Reference-bound validity of the integer-shifted patch grid."""
+        min_r = (jnp.floor(y).astype(jnp.int32) + jnp.int32(dr)
+                 - self.pr // 2)
+        min_c = (jnp.floor(x).astype(jnp.int32) + jnp.int32(dc)
+                 - self.pc // 2)
+        rr = self.v_i + min_r
+        cc = self.v_j + min_c
+        return ((rr >= 0) & (rr <= self.img_h - 2)
+                & (cc >= 0) & (cc <= self.img_w - 2))
+
+    def sample_validity_only(self, x, y):
+        return None, self.validity_at(x, y)
 
 
-def _win(n: int) -> int:
-    """Window edge: patch + 1 bilinear tap, rounded up a little so slices
-    stay within one static shape for ref (patch+2+1) and cur (patch+1)."""
-    return n
-
-
-def _kernel(ref_pad, cur_pad, ref_x, ref_y, cur_x, cur_y,
-            out_x, out_y, out_status, *,
-            opts: KltOptions, img_h: int, img_w: int, pad: int,
-            hp: int, wp: int, n_features: int):
-    epr, epc = opts.ex_patch_rows, opts.ex_patch_cols      # patch + 2
-    pr, pc = opts.patch_rows, opts.patch_cols
-    ew = max(epr, epc) + 1                                  # ref window edge
-    cw = max(pr, pc) + 1                                    # cur window edge
+def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int):
+    levels = len(shapes)
+    ref_imgs = refs[:levels]
+    cur_imgs = refs[levels:2 * levels]
+    (ref_x, ref_y, cur_x, cur_y, out_x, out_y,
+     out_status) = refs[2 * levels:]
 
     tile_base = pl.program_id(0) * TILE
+    epr, epc = opts.ex_patch_rows, opts.ex_patch_cols
+    samplers = [_RigidSampler(opts, h, w, pad, hp, wp)
+                for (h, w, hp, wp) in shapes]
+    # Extended sampler: patch + 1px gradient border in ONE contraction
+    # (static float-array slicing of the result is safe; only bool/iota
+    # slicing crashes Mosaic).
+    ex_samplers = [_RigidSampler(opts, h, w, pad, hp, wp,
+                                 rows=opts.ex_patch_rows,
+                                 cols=opts.ex_patch_cols)
+                   for (h, w, hp, wp) in shapes]
 
-    def taps(block, w, r0, c0, rows, cols):
-        w_tl, w_tr, w_bl, w_br = w
-        return (w_tl * block[r0:r0 + rows, c0:c0 + cols]
-                + w_tr * block[r0:r0 + rows, c0 + 1:c0 + cols + 1]
-                + w_bl * block[r0 + 1:r0 + rows + 1, c0:c0 + cols]
-                + w_br * block[r0 + 1:r0 + rows + 1, c0 + 1:c0 + cols + 1])
+    def ref_setup(lvl, rx, ry):
+        """Per-level reference quantities for one feature."""
+        smp = samplers[lvl]
+        exs = ex_samplers[lvl]
+        window, wr0, wc0 = exs.load_window(ref_imgs[lvl], rx, ry)
+        ex_patch, _ = exs.sample(window, wr0, wc0, rx, ry)
+        inner = ex_patch[1:-1, 1:-1]
+        # Validity rectangles in closed form: the intersection of the 4
+        # gradient-neighbor validities is one rectangle (anchor row/col
+        # in [1, dim-3]), so one mask replaces four.
+        inner_valid = smp.validity_at(rx, ry)
+        min_r = jnp.floor(ry).astype(jnp.int32) - smp.pr // 2
+        min_c = jnp.floor(rx).astype(jnp.int32) - smp.pc // 2
+        rr = smp.v_i + min_r
+        cc = smp.v_j + min_c
+        gvalid = ((rr >= 1) & (rr <= smp.img_h - 3)
+                  & (cc >= 1) & (cc <= smp.img_w - 3))
+        dx = jnp.where(gvalid, ex_patch[1:-1, 2:] - ex_patch[1:-1, :-2],
+                       0.0)
+        dy = jnp.where(gvalid, ex_patch[2:, 1:-1] - ex_patch[:-2, 1:-1],
+                       0.0)
+        h00 = jnp.sum(dx * dx)
+        h01 = jnp.sum(dx * dy)
+        h11 = jnp.sum(dy * dy)
+        det = h00 * h11 - h01 * h01
 
-    def weights_of(x, y):
-        r0 = jnp.floor(y)
-        c0 = jnp.floor(x)
-        fr = y - r0
-        fc = x - c0
-        return (r0.astype(jnp.int32), c0.astype(jnp.int32),
-                ((1.0 - fr) * (1.0 - fc), (1.0 - fr) * fc,
-                 fr * (1.0 - fc), fr * fc))
+        # Valid-pixel count of the FULL extended (epr x epc) patch, which
+        # decides the initial OUTSIDE status (optical_flow.cpp:49-102);
+        # the valid region is a clipped rectangle, so the count is closed
+        # form.
+        fy = jnp.floor(ry).astype(jnp.int32)
+        fx = jnp.floor(rx).astype(jnp.int32)
+        lo_r = jnp.maximum(fy - epr // 2, 0)
+        hi_r = jnp.minimum(fy - epr // 2 + epr - 1, smp.img_h - 2)
+        lo_c = jnp.maximum(fx - epc // 2, 0)
+        hi_c = jnp.minimum(fx - epc // 2 + epc - 1, smp.img_w - 2)
+        n_ref = (jnp.maximum(hi_r - lo_r + 1, 0)
+                 * jnp.maximum(hi_c - lo_c + 1, 0))
+        return inner, inner_valid, dx, dy, (h00, h01, h11, det), n_ref == 0
 
-    def validity(min_r, min_c, rows, cols):
-        # Masks are rebuilt at their exact shape every use: Mosaic
-        # miscompiles (crashes on) sliced bool/iota vectors.
-        rr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) + min_r
-        cc = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) + min_c
-        return ((rr >= 0) & (rr <= img_h - 2)
-                & (cc >= 0) & (cc <= img_w - 2))
+    def track_level_batch(lvl, rxs, rys, xs, ys):
+        """Fast-mode tracking of a BATCH of features at one level.
 
-    # Aligned superset-window extents (multiples of 8 sublanes / 128
-    # lanes — Mosaic vector loads and dynamic rotates require both).
-    ew_rows = ((max(epr, epc) + 1 + 16 + 7) // 8) * 8
-    ew_lanes = 256
+        The B features' chains are independent, so their small matmuls
+        and window loads interleave — hiding the MXU/VMEM latency that
+        serializes a one-feature-at-a-time loop. Lists in, lists out."""
+        smp = samplers[lvl]
+        b = len(rxs)
+        setups = [ref_setup(lvl, rxs[k], rys[k]) for k in range(b)]
 
-    def slice_clip(img, min_r, min_c, edge):
-        # Load one tile-aligned superset window containing the target,
-        # then rotate the target window into place in-register.
-        r = jnp.clip(min_r + pad, 0, hp - edge)
-        c = jnp.clip(min_c + pad, 0, wp - edge)
-        r8 = pl.multiple_of(jnp.minimum((r // 8) * 8, hp - ew_rows), 8)
-        c128 = pl.multiple_of(jnp.minimum((c // 128) * 128, wp - ew_lanes),
-                              128)
-        win = img[pl.ds(r8, ew_rows), pl.ds(c128, ew_lanes)]
-        win = pltpu.roll(win, shift=r8 - r, axis=0)
-        win = pltpu.roll(win, shift=c128 - c, axis=1)
-        return win[:edge, :edge]
-
-    def one_feature(f, _):
-        @pl.when(tile_base + f < n_features)
-        def _():
-            rx = ref_x[f]
-            ry = ref_y[f]
-            r0, c0, wts = weights_of(rx, ry)
-            min_r = r0 - epr // 2
-            min_c = c0 - epc // 2
-            block = slice_clip(ref_pad, min_r, min_c, ew)
-            ex_valid = validity(min_r, min_c, epr, epc)
-            ex_patch = jnp.where(ex_valid, taps(block, wts, 0, 0, epr, epc),
-                                 0.0)
-            n_valid_ref = jnp.sum(ex_valid.astype(jnp.int32))
-
-            # Neighbor-validity product, recomputed at [pr, pc] (the
-            # sliced-bool equivalents crash Mosaic; see validity()).
-            gvalid = (validity(min_r + 1, min_c, pr, pc)
-                      & validity(min_r + 1, min_c + 2, pr, pc)
-                      & validity(min_r, min_c + 1, pr, pc)
-                      & validity(min_r + 2, min_c + 1, pr, pc))
-            dx = jnp.where(gvalid, ex_patch[1:-1, 2:] - ex_patch[1:-1, :-2],
-                           0.0)
-            dy = jnp.where(gvalid, ex_patch[2:, 1:-1] - ex_patch[:-2, 1:-1],
-                           0.0)
-            h00 = jnp.sum(dx * dx)
-            h01 = jnp.sum(dx * dy)
-            h11 = jnp.sum(dy * dy)
-            det = h00 * h11 - h01 * h01
-            inner_patch = ex_patch[1:-1, 1:-1]
-            inner_valid = validity(min_r + 1, min_c + 1, pr, pc)
-
-            no_pixels = n_valid_ref == 0
-            status0 = jnp.where(no_pixels,
-                                jnp.int32(int(TrackStatus.OUTSIDE)),
-                                jnp.int32(int(TrackStatus.LARGE_RESIDUAL)))
-
-            def iter_body(_, carry):
-                x, y, status, last_sq, cnt, done = carry
-                cr0, cc0, cwts = weights_of(x, y)
-                cmin_r = cr0 - pr // 2
-                cmin_c = cc0 - pc // 2
-                cblock = slice_clip(cur_pad, cmin_r, cmin_c, cw)
-                cvalid = validity(cmin_r, cmin_c, pr, pc)
-                valid = cvalid & inner_valid
-                cur_patch = taps(cblock, cwts, 0, 0, pr, pc)
-                dt = jnp.where(valid, cur_patch - inner_patch, 0.0)
-                b0 = -jnp.sum(dx[:pr, :pc] * dt)
-                b1 = -jnp.sum(dy[:pr, :pc] * dt)
+        def iter_body(_, carry):
+            out = []
+            for k in range(b):
+                x, y, status, last_sq, cnt, done = (
+                    carry[6 * k:6 * k + 6])
+                inner, inner_valid, dx, dy, (h00, h01, h11, det), _ = (
+                    setups[k])
+                cwin, cwr0, cwc0 = smp.load_window(cur_imgs[lvl], x, y)
+                curv, okcur = smp.sample(cwin, cwr0, cwc0, x, y)
+                valid = okcur & inner_valid
+                dt = jnp.where(valid, curv - inner, 0.0)
+                b0 = -jnp.sum(dx * dt)
+                b1 = -jnp.sum(dy * dt)
                 # Closed-form 2x2 solve (LDLT equivalent).
                 vx = (h11 * b0 - h01 * b1) / det
                 vy = (h00 * b1 - h01 * b0) / det
-
                 num_valid = jnp.sum(valid.astype(jnp.int32))
-                no_valid = num_valid == 0
-                isnan = jnp.isnan(vx) | jnp.isnan(vy)
-                sq = vx * vx + vy * vy
+                upd, status, last_sq, cnt, done = _advance(
+                    done, status, last_sq, cnt, [vx, vy], num_valid, opts)
+                out.extend([jnp.where(upd, x + vx, x),
+                            jnp.where(upd, y + vy, y),
+                            status, last_sq, cnt, done])
+            return tuple(out)
 
-                do_update = jnp.logical_not(done | no_valid | isnan)
-                new_x = jnp.where(do_update, x + vx, x)
-                new_y = jnp.where(do_update, y + vy, y)
+        carry0 = []
+        for k in range(b):
+            no_pixels = setups[k][5]
+            carry0.extend([xs[k], ys[k], _status0(no_pixels),
+                           jnp.float32(jnp.inf), jnp.int32(0), no_pixels])
 
-                shrink = sq < last_sq
-                new_last = jnp.where(shrink, sq, last_sq)
-                new_cnt = jnp.where(shrink, 0, cnt + 1)
-                new_last = jnp.where(do_update, new_last, last_sq)
-                new_cnt = jnp.where(do_update, new_cnt, cnt)
-                diverged = do_update & (
-                    new_cnt >= opts.max_tolerance_large_step)
-                converged = (do_update & (sq < opts.max_converge_step)
-                             & jnp.logical_not(diverged))
+        def cond(c):
+            i = c[0]
+            all_done = c[1 + 5]
+            for k in range(1, b):
+                all_done = all_done & c[1 + 6 * k + 5]
+            return (i < opts.max_iterations) & jnp.logical_not(all_done)
 
-                new_status = jnp.where(
-                    isnan & jnp.logical_not(done | no_valid),
-                    jnp.int32(int(TrackStatus.NUMERIC_ERROR)),
-                    jnp.where(converged,
-                              jnp.int32(int(TrackStatus.TRACKED)), status))
-                new_status = jnp.where(done, status, new_status)
-                new_done = done | no_valid | isnan | diverged | converged
-                return (new_x, new_y, new_status, new_last, new_cnt,
-                        new_done)
+        def step(c):
+            return (c[0] + 1,) + iter_body(c[0], c[1:])
 
-            x, y, status, _, _, _ = jax.lax.fori_loop(
-                0, opts.max_iterations, iter_body,
-                (cur_x[f], cur_y[f], status0,
-                 jnp.float32(jnp.inf), jnp.int32(0), no_pixels))
+        final = jax.lax.while_loop(cond, step,
+                                   (jnp.int32(0),) + tuple(carry0))[1:]
+        return ([final[6 * k] for k in range(b)],
+                [final[6 * k + 1] for k in range(b)],
+                [final[6 * k + 2] for k in range(b)])
 
-            out_x[f] = x
-            out_y[f] = y
-            out_status[f] = status
+    BATCH = 4
 
+    def one_batch(bi, _):
+        f0 = bi * BATCH
+        scale = 1.0 / float(1 << (levels - 1))
+        rxs = [ref_x[f0 + k] * scale for k in range(BATCH)]
+        rys = [ref_y[f0 + k] * scale for k in range(BATCH)]
+        xs = [cur_x[f0 + k] * scale for k in range(BATCH)]
+        ys = [cur_y[f0 + k] * scale for k in range(BATCH)]
+        # Coarse-to-fine, coordinates doubled between levels
+        # (reference: basic_klt.cpp:10,44-45); status is rewritten per
+        # level, the last (finest) level's wins.
+        sts = None
+        for lvl in range(levels - 1, -1, -1):
+            xs, ys, sts = track_level_batch(lvl, rxs, rys, xs, ys)
+            if lvl > 0:
+                rxs = [v * 2.0 for v in rxs]
+                rys = [v * 2.0 for v in rys]
+                xs = [v * 2.0 for v in xs]
+                ys = [v * 2.0 for v in ys]
+        for k in range(BATCH):
+            @pl.when(tile_base + f0 + k < n_features)
+            def _(k=k):
+                out_x[f0 + k] = xs[k]
+                out_y[f0 + k] = ys[k]
+                out_status[f0 + k] = sts[k]
         return 0
 
-    jax.lax.fori_loop(0, TILE, one_feature, 0)
+    jax.lax.fori_loop(0, TILE // BATCH, one_batch, 0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("opts", "interpret"))
-def track_level_fast_pallas(opts: KltOptions, ref_img, cur_img, ref_uv,
-                            cur_uv, interpret: bool = False):
-    """Drop-in fast-mode level tracker. Returns (uv [N,2], status [N] i8).
+def _geometry(opts: KltOptions, img):
+    """Padded-image geometry for one level (same constraints as the warp
+    kernels: room for the [WIN_R, WIN_C] aligned superset windows)."""
+    pad = max(opts.ex_patch_rows, opts.ex_patch_cols) + 3
+    h, w = img.shape
+    hp = _round8(max(h + 2 * pad, WIN_R))
+    wp = ((max(w + 2 * pad, WIN_C) + 127) // 128) * 128
+    padded = jnp.pad(img, ((pad, hp - h - pad), (pad, wp - w - pad)))
+    return padded, (h, w, hp, wp), pad
 
-    Incoming-status semantics (skip handling) are applied by the caller,
-    as in the jnp path."""
+
+@functools.partial(jax.jit, static_argnames=("opts", "interpret"))
+def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
+                              ref_uv, cur_uv, interpret: bool = False):
+    """Whole-pyramid fast-mode tracker in ONE kernel launch.
+
+    Returns (uv [N,2] full-resolution, status [N] int8). Skip handling
+    and the final outside check are applied by the caller."""
+    levels = len(ref_pyramid)
     n = ref_uv.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
     # Positions travel as separate 1D x/y arrays: 2D SMEM blocks get
     # lane-padded to 128 and blow the scalar-memory budget.
-    ref_x = jnp.pad(ref_uv[:, 0], (0, n_pad - n))
-    ref_y = jnp.pad(ref_uv[:, 1], (0, n_pad - n))
-    cur_x = jnp.pad(cur_uv[:, 0], (0, n_pad - n))
-    cur_y = jnp.pad(cur_uv[:, 1], (0, n_pad - n))
+    vecs = [jnp.pad(v, (0, n_pad - n))
+            for v in (ref_uv[:, 0], ref_uv[:, 1], cur_uv[:, 0],
+                      cur_uv[:, 1])]
 
-    pad = max(opts.ex_patch_rows, opts.ex_patch_cols) + 3
-    h, w = ref_img.shape
-    ew = max(opts.ex_patch_rows, opts.ex_patch_cols) + 1
-    # Bottom/right extra padding so the aligned superset window (ew+16
-    # rows rounded to 8, 256 lanes) always fits, even on tiny levels.
-    ew_rows = ((ew + 16 + 7) // 8) * 8
-    hp = ((max(h + 2 * pad, ew_rows) + 7) // 8) * 8
-    wp = ((max(w + 2 * pad, 256) + 127) // 128) * 128
-    ref_pad = jnp.pad(ref_img, ((pad, hp - h - pad), (pad, wp - w - pad)))
-    cur_pad = jnp.pad(cur_img, ((pad, hp - h - pad), (pad, wp - w - pad)))
+    imgs = []
+    shapes = []
+    pad = None
+    for img in tuple(ref_pyramid) + tuple(cur_pyramid):
+        padded, shape, pad = _geometry(opts, img)
+        imgs.append(padded)
+        shapes.append(shape)
+    shapes = tuple(shapes[:levels])
 
-    kernel = functools.partial(_kernel, opts=opts, img_h=h, img_w=w,
-                               pad=pad, hp=hp, wp=wp, n_features=n)
-    smem_vec = pl.BlockSpec((TILE,), lambda i: (i,),
-                            memory_space=pltpu.SMEM)
+    kernel = functools.partial(_kernel, opts=opts, shapes=shapes, pad=pad,
+                               n_features=n)
+    smem_vec = _smem_vec()
     out_x, out_y, status = pl.pallas_call(
         kernel,
         grid=(n_pad // TILE,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ref_pad (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cur_pad (whole)
-            # Positions are consumed/produced as scalars -> SMEM.
-            smem_vec, smem_vec, smem_vec, smem_vec,
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * levels)
+        + [smem_vec] * 4,
         out_specs=(smem_vec, smem_vec, smem_vec),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad,), jnp.float32),
@@ -243,9 +325,17 @@ def track_level_fast_pallas(opts: KltOptions, ref_img, cur_img, ref_uv,
             jax.ShapeDtypeStruct((n_pad,), jnp.int32),
         ),
         interpret=interpret,
-    )(ref_pad, cur_pad, ref_x, ref_y, cur_x, cur_y)
+    )(*imgs, *vecs)
     return (jnp.stack([out_x[:n], out_y[:n]], axis=-1),
             status[:n].astype(jnp.int8))
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "interpret"))
+def track_level_fast_pallas(opts: KltOptions, ref_img, cur_img, ref_uv,
+                            cur_uv, interpret: bool = False):
+    """Single-level fast-mode tracker (the 1-level pyramid case)."""
+    return track_pyramid_fast_pallas(opts, (ref_img,), (cur_img,), ref_uv,
+                                     cur_uv, interpret=interpret)
 
 
 def pallas_available() -> bool:

@@ -176,6 +176,21 @@ class _Sampler:
         return s_c, v_c, dx, dy, n_valid_ref
 
 
+def iterate_until_done(body, carry0, max_iterations: int):
+    """Run ``body(i, carry) -> carry`` until done (the carry's last
+    element) or the iteration bound. Inside the per-feature sequential
+    loop this is a REAL early exit — typical features converge in 2-5 of
+    the 15 iterations, which the vmapped jnp path cannot exploit."""
+    def cond(c):
+        return (c[0] < max_iterations) & jnp.logical_not(c[-1])
+
+    def step(c):
+        return (c[0] + 1,) + tuple(body(c[0], c[1:]))
+
+    out = jax.lax.while_loop(cond, step, (jnp.int32(0),) + tuple(carry0))
+    return out[1:]
+
+
 def _status0(no_pixels):
     return jnp.where(no_pixels, jnp.int32(int(TrackStatus.OUTSIDE)),
                      jnp.int32(int(TrackStatus.LARGE_RESIDUAL)))
@@ -273,11 +288,12 @@ def _affine_kernel(ref_pad, cur_pad, ref_x, ref_y, cur_x, cur_y,
                         jnp.where(upd, c11 + z[3], c11),
                         status, last_sq, cnt, done)
 
-            (x, y, c00, c01, c10, c11, status, _, _, _) = jax.lax.fori_loop(
-                0, opts.max_iterations, body,
-                (x_ent, y_ent, a00[f], a01[f], a10[f], a11[f],
-                 _status0(no_pixels), jnp.float32(jnp.inf), jnp.int32(0),
-                 no_pixels))
+            (x, y, c00, c01, c10, c11, status, _, _, _) = (
+                iterate_until_done(
+                    body,
+                    (x_ent, y_ent, a00[f], a01[f], a10[f], a11[f],
+                     _status0(no_pixels), jnp.float32(jnp.inf),
+                     jnp.int32(0), no_pixels), opts.max_iterations))
             out_x[f] = x
             out_y[f] = y
             o00[f] = c00
@@ -372,11 +388,11 @@ def _lssd_kernel(ref_pad, cur_pad, ref_x, ref_y, r00, r01, r10, r11, tx, ty,
                         status, last_sq, cnt, done)
 
             (c00, c01, c10, c11, cx, cy, status, _, _, _) = (
-                jax.lax.fori_loop(
-                    0, opts.max_iterations, body,
+                iterate_until_done(
+                    body,
                     (r00[f], r01[f], r10[f], r11[f], tx[f], ty[f],
                      _status0(no_pixels), jnp.float32(jnp.inf),
-                     jnp.int32(0), no_pixels)))
+                     jnp.int32(0), no_pixels), opts.max_iterations))
             o00[f] = c00
             o01[f] = c01
             o10[f] = c10

@@ -44,16 +44,24 @@ def _skip_mask(n, status, opts):
 def _basic_pyramid(opts, ref_pyr, cur_pyr, ref_uv, cur_uv, status):
     n = ref_uv.shape[0]
     skip = _skip_mask(n, status, opts)
-    scale = float(1 << (len(ref_pyr) - 1))
-    s_ref = ref_uv / scale
-    s_cur = cur_uv / scale
-    st = status
-    for lvl in range(len(ref_pyr) - 1, -1, -1):
-        s_cur, st = _basic.track_level(opts, ref_pyr[lvl], cur_pyr[lvl],
-                                       s_ref, s_cur, st)
-        if lvl > 0:
-            s_ref = s_ref * 2.0
-            s_cur = s_cur * 2.0
+    if opts.method == KltMethod.FAST and jax.default_backend() == "tpu":
+        # One Pallas launch runs the whole coarse-to-fine loop on-chip.
+        from feature_tracker_tpu.ops.pallas_klt import (
+            track_pyramid_fast_pallas,
+        )
+        s_cur, st = track_pyramid_fast_pallas(opts, ref_pyr, cur_pyr,
+                                              ref_uv, cur_uv)
+    else:
+        scale = float(1 << (len(ref_pyr) - 1))
+        s_ref = ref_uv / scale
+        s_cur = cur_uv / scale
+        st = status
+        for lvl in range(len(ref_pyr) - 1, -1, -1):
+            s_cur, st = _basic.track_level(opts, ref_pyr[lvl], cur_pyr[lvl],
+                                           s_ref, s_cur, st)
+            if lvl > 0:
+                s_ref = s_ref * 2.0
+                s_cur = s_cur * 2.0
     st = final_outside_check(s_cur, st, cur_pyr[0].shape)
     out_uv = jnp.where(skip[:, None], cur_uv, s_cur)
     out_st = jnp.where(skip, status, st)

@@ -62,3 +62,32 @@ def test_pallas_klt_off_image_features():
     assert st[2] == int(TrackStatus.TRACKED)
     # Off-image features keep their input position.
     np.testing.assert_allclose(np.asarray(uv_out)[:2], np.asarray(uv)[:2])
+
+
+def test_pallas_pyramid_kernel_matches_jnp_pyramid():
+    """The fused whole-pyramid kernel must reproduce the level-by-level
+    jnp pyramid driver (scaling, per-level status rewrite, coordinate
+    doubling)."""
+    from feature_tracker_tpu.ops.pallas_klt import track_pyramid_fast_pallas
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+    from feature_tracker_tpu.trackers.klt import BasicKlt
+
+    ref, cur = translated_pair(h=120, w=160, shift=(3.0, -2.0))
+    rp = build_pyramid(jnp.asarray(ref), 3)
+    cp = build_pyramid(jnp.asarray(cur), 3)
+    rng = np.random.default_rng(1)
+    n = 64
+    uv = jnp.asarray(np.stack([rng.uniform(8, 152, n),
+                               rng.uniform(8, 112, n)], -1), jnp.float32)
+
+    tracker = BasicKlt(KltOptions(max_track_points=n))
+    want_uv, want_st = tracker.track(rp, cp, uv)
+    got_uv, got_st = track_pyramid_fast_pallas(KltOptions(max_track_points=n),
+                                               rp, cp, uv, uv,
+                                               interpret=True)
+    # The wrapper applies the final outside check on top of the kernel.
+    from feature_tracker_tpu.trackers.klt.engine import final_outside_check
+    got_st = final_outside_check(got_uv, got_st, cp[0].shape)
+    np.testing.assert_array_equal(np.asarray(want_st), np.asarray(got_st))
+    np.testing.assert_allclose(np.asarray(want_uv), np.asarray(got_uv),
+                               atol=1e-3)
