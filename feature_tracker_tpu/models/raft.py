@@ -396,9 +396,22 @@ class Raft(nn.Module):
         def step(mdl, carry, _):
             net_, cur_locs = carry
             if c.low_memory:
-                corr = lookup_correlation_otf(
-                    fmap0, fpyr, cur_locs, c.correlation_radius
-                ).astype(c.dtype)
+                use_pallas = (jax.default_backend() == "tpu"
+                              and c.correlation_radius <= 3)
+                if use_pallas:
+                    # Gather-free Pallas lookup (ops/pallas_raft_lookup).
+                    from feature_tracker_tpu.ops.pallas_raft_lookup import (
+                        lookup_correlation_pallas,
+                    )
+                    corr = jnp.stack([
+                        lookup_correlation_pallas(
+                            fmap0[i], [f[i] for f in fpyr], cur_locs[i],
+                            c.correlation_radius)
+                        for i in range(fmap0.shape[0])]).astype(c.dtype)
+                else:
+                    corr = lookup_correlation_otf(
+                        fmap0, fpyr, cur_locs, c.correlation_radius
+                    ).astype(c.dtype)
             else:
                 corr = lookup_correlation(
                     pyramid, cur_locs, c.correlation_radius).astype(c.dtype)

@@ -137,3 +137,28 @@ def test_raft_training_reduces_loss_on_constant_flow():
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
     assert np.isfinite(losses).all()
+
+
+def test_pallas_lookup_matches_otf():
+    """The Pallas windowed-correlation kernel (interpret mode on CPU)
+    must match the XLA on-the-fly lookup, including out-of-range
+    positions (zero-padding taps)."""
+    from feature_tracker_tpu.models.raft import (
+        lookup_correlation_otf,
+        pool_feature_pyramid,
+    )
+    from feature_tracker_tpu.ops.pallas_raft_lookup import (
+        lookup_correlation_pallas,
+    )
+    rng = np.random.default_rng(0)
+    h, w, c = 13, 22, 16  # odd sizes exercise the aligned-window clamps
+    f0 = jnp.asarray(rng.normal(0, 1, (1, h, w, c)), jnp.float32)
+    f1 = jnp.asarray(rng.normal(0, 1, (1, h, w, c)), jnp.float32)
+    locs = jnp.asarray(rng.uniform(-4, max(h, w) + 4, (1, h, w, 2)),
+                       jnp.float32)
+    fpyr = pool_feature_pyramid(f1, 3)
+    want = lookup_correlation_otf(f0, fpyr, locs, 3)
+    got = lookup_correlation_pallas(f0[0], [f[0] for f in fpyr], locs[0],
+                                    3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want)[0],
+                               rtol=1e-4, atol=1e-4)
