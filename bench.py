@@ -48,28 +48,38 @@ def main():
     cur_pyr = build_pyramid(jnp.asarray(cur), 4)
     tracker = BasicKlt(KltOptions(max_track_points=n))
 
-    cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)  # compile
-    _ = np.asarray(cur_uv)
+    import jax
 
-    # IMPORTANT: time to full host materialization (np.asarray). On the
-    # axon tunnel, block_until_ready can return before execution
-    # completes, which silently reports dispatch time instead of compute
-    # (observed 0.4 ms "latency" for a 130 ms kernel). Fresh inputs per
-    # call rule out any result reuse. Best of 3 windows smooths tunnel
-    # noise.
-    rng2 = np.random.default_rng(1)
+    cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)  # for `tracked`
+    tracked = int((np.asarray(status) == 1).sum())
+
+    # Compute-only protocol (see BASELINE.md): on the axon tunnel,
+    # block_until_ready can return before execution completes and
+    # identical program+input runs are memoized, so the timed call
+    # perturbs its input ON DEVICE (fresh execution, no host upload) and
+    # returns a scalar checksum (forces full compute, avoids paying the
+    # ~50 MB/s tunnel for bulk outputs). The measured ~29 ms round-trip
+    # floor is subtracted to estimate on-chip time.
+    uv_dev = jnp.asarray(uv)
+    step = jax.jit(lambda p, s: jnp.sum(
+        tracker.track(ref_pyr, cur_pyr, p + s)[0]))
+    floor_fn = jax.jit(lambda s: jnp.sum(uv_dev + s))
+    _ = float(step(uv_dev, 0.0))
+    _ = float(floor_fn(0.0))
+
     iters = 5
     dt = float("inf")
-    for _ in range(3):
+    floor = float("inf")
+    for w_i in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            uv_i = jnp.asarray(uv + rng2.uniform(-0.25, 0.25, uv.shape)
-                               .astype(np.float32))
-            cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv_i)
-            _ = np.asarray(cur_uv)
+        for i in range(iters):
+            _ = float(step(uv_dev, 0.01 * (w_i * iters + i + 1)))
         dt = min(dt, (time.perf_counter() - t0) / iters)
-
-    tracked = int((np.asarray(status) == 1).sum())
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _ = float(floor_fn(0.01 * (w_i * iters + i + 1)))
+        floor = min(floor, (time.perf_counter() - t0) / iters)
+    dt = max(dt - floor, 1e-6)
     feats_per_s = n / dt
     print(json.dumps({
         "metric": "klt_tracked_features_per_s_per_chip",
