@@ -162,3 +162,18 @@ def test_pallas_lookup_matches_otf():
                                     3, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want)[0],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flow_metrics():
+    from feature_tracker_tpu.train.raft_eval import flow_metrics
+
+    gt = jnp.zeros((4, 4, 2))
+    pred = jnp.zeros((4, 4, 2)).at[0, 0].set(jnp.asarray([4.0, 0.0]))
+    m = flow_metrics(pred, gt)
+    np.testing.assert_allclose(float(m["epe"]), 4.0 / 16, rtol=1e-6)
+    np.testing.assert_allclose(float(m["px3"]), 1.0 / 16, rtol=1e-6)
+    assert float(m["px5"]) == 0.0
+    # Valid mask removes the bad pixel.
+    valid = jnp.ones((4, 4), bool).at[0, 0].set(False)
+    m2 = flow_metrics(pred, gt, valid)
+    assert float(m2["epe"]) == 0.0
