@@ -13,7 +13,9 @@ All device work is static-shape; host work is O(capacity) numpy.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,6 +60,7 @@ class TrackingFrontEnd:
         self._next_id = 0
         self._frame_id = -1
         self._prev_pyr = None
+        self._fused_step = self._make_fused_step()
 
     @property
     def live_mask(self) -> np.ndarray:
@@ -82,27 +85,41 @@ class TrackingFrontEnd:
         self._next_id += take
         self._dead[slots] = False
 
+    def _make_fused_step(self):
+        """One fused program per steady-state frame: build the new
+        frame's pyramid AND track into it — a single compiled program
+        avoids alternating dispatches (which thrash remote program
+        caches) and lets XLA overlap the pyramid build with tracking.
+        Built once (jit caches by function identity)."""
+
+        @partial(jax.jit, static_argnames=("levels",))
+        def fused(prev_pyr, img, uv, dead, levels):
+            pyr = build_pyramid(img, levels)
+            status_in = jnp.where(
+                dead, jnp.int8(int(TrackStatus.OUTSIDE)),  # skip dead
+                jnp.int8(int(TrackStatus.NOT_TRACKED)))
+            uv_out, st = self.tracker.track(prev_pyr, pyr, uv, uv,
+                                            status_in)
+            return pyr, uv_out, st
+
+        return fused
+
     def process_frame(self, frame: np.ndarray) -> FrameResult:
         """frame: [H, W] gray 0..255 (numpy or jax). Returns the tracked
         state after this frame."""
         self._frame_id += 1
         img_j = jnp.asarray(frame, jnp.float32)
-        pyr = build_pyramid(img_j, self.cfg.pyramid_levels)
 
         if self._prev_pyr is None:
+            pyr = build_pyramid(img_j, self.cfg.pyramid_levels)
             self._replenish(img_j)
             status = np.where(self._dead,
                               np.int8(int(TrackStatus.NOT_TRACKED)),
                               np.int8(int(TrackStatus.TRACKED)))
         else:
-            status_in = jnp.where(
-                jnp.asarray(self._dead),
-                jnp.int8(int(TrackStatus.OUTSIDE)),   # skip dead lanes
-                jnp.int8(int(TrackStatus.NOT_TRACKED)))
-            uv_out, st = self.tracker.track(self._prev_pyr, pyr,
-                                            jnp.asarray(self._uv),
-                                            jnp.asarray(self._uv),
-                                            status_in)
+            pyr, uv_out, st = self._fused_step(
+                self._prev_pyr, img_j, jnp.asarray(self._uv),
+                jnp.asarray(self._dead), self.cfg.pyramid_levels)
             status = np.asarray(st)
             self._uv = np.array(uv_out)  # writable copy off-device
             failed = status != int(TrackStatus.TRACKED)
