@@ -83,3 +83,26 @@ def test_detector_min_distance_and_count():
     assert d.min() >= 20.0
     # Padding slots are marked (-1, -1).
     assert np.all(uv[num:] == -1.0)
+
+
+def test_greedy_suppression_matches_sequential_scan():
+    """The chunked chaotic-iteration NMS must equal the sequential greedy
+    scan exactly, over randomized geometry and chunk boundaries."""
+    import numpy as np
+
+    from feature_tracker_tpu.ops.detect import greedy_suppression
+
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        k = int(rng.integers(5, 400))
+        pts = rng.uniform(0, 60, (k, 2))
+        valid = rng.random(k) > 0.1
+        d2 = ((pts[:, None] - pts[None, :]) ** 2).sum(-1)
+        conflict = d2 < rng.uniform(2, 30) ** 2
+        want = np.zeros(k, bool)
+        for i in range(k):
+            want[i] = valid[i] and not np.any(want[:i] & conflict[i, :i])
+        got = np.asarray(greedy_suppression(jnp.asarray(valid),
+                                            jnp.asarray(conflict),
+                                            chunk=64))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
