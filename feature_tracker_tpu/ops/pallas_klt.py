@@ -47,7 +47,6 @@ from feature_tracker_tpu.ops.pallas_warp_klt import (
     WIN_R,
     _advance,
     _round8,
-    _Sampler,
     _smem_vec,
     _status0,
     iterate_until_done,

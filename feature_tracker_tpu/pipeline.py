@@ -124,8 +124,7 @@ class TrackingFrontEnd:
             self._uv = np.array(uv_out)  # writable copy off-device
             failed = status != int(TrackStatus.TRACKED)
             self._dead |= failed
-            self._ids[self._dead] = np.where(
-                self._ids[self._dead] >= 0, -1, -1)
+            self._ids[self._dead] = -1
             if (~self._dead).sum() < self.cfg.min_live_tracks:
                 self._replenish(img_j)
 
