@@ -81,8 +81,10 @@ class _Sampler:
     """Shared per-kernel machinery: aligned window loads and hat-weight
     sampling over a flattened patch grid."""
 
-    def __init__(self, opts: KltOptions, img_h, img_w, pad, hp, wp):
-        self.pr, self.pc = opts.patch_rows, opts.patch_cols
+    def __init__(self, opts: KltOptions, img_h, img_w, pad, hp, wp,
+                 rows=None, cols=None):
+        self.pr = opts.patch_rows if rows is None else rows
+        self.pc = opts.patch_cols if cols is None else cols
         self.epr, self.epc = opts.ex_patch_rows, opts.ex_patch_cols
         self.p = self.pr * self.pc
         self.p_pad = _round8(self.p)
@@ -145,35 +147,74 @@ class _Sampler:
                  & self.p_mask)
         return jnp.where(valid, val, 0.0), valid
 
-    def ref_setup(self, ref_img_pad, rx, ry):
-        """Reference-patch quantities shared by both warp models: masked
-        inner patch, un-halved central-difference gradients, validity, and
-        the extended-patch valid count that drives the OUTSIDE status."""
-        window, wr0, wc0 = self.load_window(ref_img_pad, rx, ry)
-        px = rx + self.offx
-        py = ry + self.offy
-        s_c, v_c = self.sample(window, wr0, wc0, px, py)
-        s_l, v_l = self.sample(window, wr0, wc0, px - 1.0, py)
-        s_r, v_r = self.sample(window, wr0, wc0, px + 1.0, py)
-        s_t, v_t = self.sample(window, wr0, wc0, px, py - 1.0)
-        s_b, v_b = self.sample(window, wr0, wc0, px, py + 1.0)
-        gvalid = v_l & v_r & v_t & v_b
-        dx = jnp.where(gvalid, s_r - s_l, 0.0)
-        dy = jnp.where(gvalid, s_b - s_t, 0.0)
+    def rect_valid(self, rx, ry, lo: int, hi_off: int):
+        """Closed-form rectangle validity of the rigid patch grid: the
+        anchor of pixel p is floor(center) + integer offset, so validity
+        is anchor row/col in [lo, dim - hi_off]."""
+        rr = jnp.floor(ry).astype(jnp.int32) + self.offy.astype(jnp.int32)
+        cc = jnp.floor(rx).astype(jnp.int32) + self.offx.astype(jnp.int32)
+        return ((rr >= lo) & (rr <= self.img_h - hi_off)
+                & (cc >= lo) & (cc <= self.img_w - hi_off) & self.p_mask)
 
-        # Valid-pixel count of the FULL extended patch (epr x epc), which
-        # decides the initial OUTSIDE status (optical_flow.cpp:49-102).
-        qid = jax.lax.broadcasted_iota(jnp.int32,
-                                       (_round8(self.epr * self.epc), 1), 0)
-        q_mask = qid < self.epr * self.epc
-        eox = (qid % self.epc - self.epc // 2).astype(jnp.float32)
-        eoy = (qid // self.epc - self.epr // 2).astype(jnp.float32)
-        ex_fx = jnp.floor(rx + eox)
-        ex_fy = jnp.floor(ry + eoy)
-        ex_valid = ((ex_fx >= 0) & (ex_fx <= self.img_w - 2)
-                    & (ex_fy >= 0) & (ex_fy <= self.img_h - 2) & q_mask)
-        n_valid_ref = jnp.sum(ex_valid.astype(jnp.int32))
-        return s_c, v_c, dx, dy, n_valid_ref
+
+def make_ref_extractors(opts: KltOptions):
+    """Static one-hot matrices extracting the inner patch and its
+    un-halved central-difference gradients from the FLAT extended-patch
+    column in one matvec each (replaces 4 of the 5 hat-matmul samples in
+    the reference setup)."""
+    import numpy as _np
+    pr, pc = opts.patch_rows, opts.patch_cols
+    epr, epc = opts.ex_patch_rows, opts.ex_patch_cols
+    p_pad = _round8(pr * pc)
+    ex_pad = _round8(epr * epc)
+
+    def sel(dr, dc):
+        m = _np.zeros((p_pad, ex_pad), _np.float32)
+        for q in range(pr * pc):
+            m[q, (q // pc + 1 + dr) * epc + (q % pc + 1 + dc)] = 1.0
+        return m
+
+    return (jnp.asarray(sel(0, 0)),
+            jnp.asarray(sel(0, 1) - sel(0, -1)),
+            jnp.asarray(sel(1, 0) - sel(-1, 0)))
+
+
+def ref_setup_shared(smp, exs, extractors, ref_img_pad, rx, ry):
+    """Reference-patch quantities shared by both warp models: masked
+    inner patch, un-halved central-difference gradients, validity, and
+    the extended-patch valid count that drives the OUTSIDE status.
+
+    ONE extended hat-matmul sample + three static extraction matvecs
+    (the previous formulation paid five full hat-matmul samples)."""
+    window, wr0, wc0 = exs.load_window(ref_img_pad, rx, ry)
+    ex_flat, _ = exs.sample(window, wr0, wc0, rx + exs.offx,
+                            ry + exs.offy)                  # [EX_pad, 1]
+    s_c_m, s_dx_m, s_dy_m = extractors
+
+    def extract(mat):
+        return jax.lax.dot_general(
+            mat, ex_flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)            # [P_pad, 1]
+
+    v_c = smp.rect_valid(rx, ry, 0, 2)
+    gvalid = smp.rect_valid(rx, ry, 1, 3)
+    s_c = jnp.where(v_c, extract(s_c_m), 0.0)
+    dx = jnp.where(gvalid, extract(s_dx_m), 0.0)
+    dy = jnp.where(gvalid, extract(s_dy_m), 0.0)
+
+    # Valid-pixel count of the FULL extended patch: a clipped rectangle,
+    # so the count is closed form (optical_flow.cpp:49-102 semantics).
+    epr, epc = exs.pr, exs.pc
+    fy = jnp.floor(ry).astype(jnp.int32)
+    fx = jnp.floor(rx).astype(jnp.int32)
+    lo_r = jnp.maximum(fy - epr // 2, 0)
+    hi_r = jnp.minimum(fy - epr // 2 + epr - 1, smp.img_h - 2)
+    lo_c = jnp.maximum(fx - epc // 2, 0)
+    hi_c = jnp.minimum(fx - epc // 2 + epc - 1, smp.img_w - 2)
+    n_valid_ref = (jnp.maximum(hi_r - lo_r + 1, 0)
+                   * jnp.maximum(hi_c - lo_c + 1, 0))
+    return s_c, v_c, dx, dy, n_valid_ref
 
 
 def iterate_until_done(body, carry0, max_iterations: int):
@@ -224,18 +265,22 @@ def _advance(carry_done, carry_status, carry_last, carry_cnt, v_list,
     return do_update, new_status, new_last, new_cnt, new_done
 
 
-def _affine_kernel(ref_pad, cur_pad, ref_x, ref_y, cur_x, cur_y,
+def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
+                   ref_x, ref_y, cur_x, cur_y,
                    a00, a01, a10, a11,
                    out_x, out_y, o00, o01, o10, o11, out_status, *,
                    opts: KltOptions, img_h, img_w, pad, hp, wp, n_features):
     smp = _Sampler(opts, img_h, img_w, pad, hp, wp)
+    exs = _Sampler(opts, img_h, img_w, pad, hp, wp,
+                   rows=opts.ex_patch_rows, cols=opts.ex_patch_cols)
+    extractors = (exm_c[:], exm_dx[:], exm_dy[:])
     tile_base = pl.program_id(0) * TILE
 
     def one_feature(f, _):
         @pl.when(tile_base + f < n_features)
         def _():
-            inner, inner_valid, dx, dy, n_ref = smp.ref_setup(
-                ref_pad, ref_x[f], ref_y[f])
+            inner, inner_valid, dx, dy, n_ref = ref_setup_shared(
+                smp, exs, extractors, ref_pad, ref_x[f], ref_y[f])
             x_ent, y_ent = cur_x[f], cur_y[f]
             # H precomputed once per level with x,y anchored at the
             # level-entry position (affine_klt_fast.cpp:95-137). The
@@ -306,11 +351,15 @@ def _affine_kernel(ref_pad, cur_pad, ref_x, ref_y, cur_x, cur_y,
     jax.lax.fori_loop(0, TILE, one_feature, 0)
 
 
-def _lssd_kernel(ref_pad, cur_pad, ref_x, ref_y, r00, r01, r10, r11, tx, ty,
+def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
+                 ref_x, ref_y, r00, r01, r10, r11, tx, ty,
                  o00, o01, o10, o11, otx, oty, out_status, *,
                  opts: KltOptions, luminance: bool, img_h, img_w, pad, hp,
                  wp, n_features):
     smp = _Sampler(opts, img_h, img_w, pad, hp, wp)
+    exs = _Sampler(opts, img_h, img_w, pad, hp, wp,
+                   rows=opts.ex_patch_rows, cols=opts.ex_patch_cols)
+    extractors = (exm_c[:], exm_dx[:], exm_dy[:])
     tile_base = pl.program_id(0) * TILE
     pr, pc = opts.patch_rows, opts.patch_cols
     # Inner-of-patch mask for the reference's luminance-mean numerator
@@ -322,8 +371,8 @@ def _lssd_kernel(ref_pad, cur_pad, ref_x, ref_y, r00, r01, r10, r11, tx, ty,
         @pl.when(tile_base + f < n_features)
         def _():
             rx, ry = ref_x[f], ref_y[f]
-            inner, inner_valid, dx, dy, n_ref = smp.ref_setup(ref_pad, rx,
-                                                              ry)
+            inner, inner_valid, dx, dy, n_ref = ref_setup_shared(
+                smp, exs, extractors, ref_pad, rx, ry)
             if luminance:
                 ref_mean = (jnp.sum(inner)
                             / jnp.maximum(n_ref.astype(jnp.float32), 1.0))
@@ -440,19 +489,19 @@ def affine_track_level_pallas(opts: KltOptions, ref_img, cur_img, ref_uv,
         ref_uv[:, 0], ref_uv[:, 1], cur_uv[:, 0], cur_uv[:, 1],
         affine[:, 0, 0], affine[:, 0, 1], affine[:, 1, 0], affine[:, 1, 1])
 
+    exm = make_ref_extractors(opts)
     kernel = functools.partial(_affine_kernel, opts=opts, img_h=h, img_w=w,
                                pad=pad, hp=hp, wp=wp, n_features=n)
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // TILE,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
         + [_smem_vec()] * 8,
         out_specs=tuple([_smem_vec()] * 7),
         out_shape=tuple([jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * 6
                         + [jax.ShapeDtypeStruct((n_pad,), jnp.int32)]),
         interpret=interpret,
-    )(ref_pad, cur_pad, *vecs)
+    )(ref_pad, cur_pad, *exm, *vecs)
     uv = jnp.stack([outs[0][:n], outs[1][:n]], axis=-1)
     aff = jnp.stack([jnp.stack([outs[2][:n], outs[3][:n]], -1),
                      jnp.stack([outs[4][:n], outs[5][:n]], -1)], axis=-2)
@@ -474,20 +523,20 @@ def lssd_track_level_pallas(opts: KltOptions, luminance: bool, ref_img,
         rot[:, 0, 0], rot[:, 0, 1], rot[:, 1, 0], rot[:, 1, 1],
         t[:, 0], t[:, 1])
 
+    exm = make_ref_extractors(opts)
     kernel = functools.partial(_lssd_kernel, opts=opts, luminance=luminance,
                                img_h=h, img_w=w, pad=pad, hp=hp, wp=wp,
                                n_features=n)
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // TILE,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
         + [_smem_vec()] * 8,
         out_specs=tuple([_smem_vec()] * 7),
         out_shape=tuple([jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * 6
                         + [jax.ShapeDtypeStruct((n_pad,), jnp.int32)]),
         interpret=interpret,
-    )(ref_pad, cur_pad, *vecs)
+    )(ref_pad, cur_pad, *exm, *vecs)
     new_rot = jnp.stack([jnp.stack([outs[0][:n], outs[1][:n]], -1),
                          jnp.stack([outs[2][:n], outs[3][:n]], -1)], axis=-2)
     new_t = jnp.stack([outs[4][:n], outs[5][:n]], axis=-1)
