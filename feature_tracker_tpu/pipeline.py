@@ -126,7 +126,15 @@ class TrackingFrontEnd:
             self._dead |= failed
             self._ids[self._dead] = -1
             if (~self._dead).sum() < self.cfg.min_live_tracks:
+                was_dead = self._dead.copy()
                 self._replenish(img_j)
+                # Slots filled by replenishment are alive THIS frame —
+                # keep the "status==TRACKED means alive" contract for
+                # consumers (fresh detections carry TRACKED, like the
+                # first-frame branch).
+                status = np.where(was_dead & ~self._dead,
+                                  np.int8(int(TrackStatus.TRACKED)),
+                                  status)
 
         self._prev_pyr = pyr
         return FrameResult(self._frame_id, self._uv.copy(), status,

@@ -12,6 +12,7 @@ real camera feed.
 from __future__ import annotations
 
 import threading
+import time
 from typing import Callable, Iterable, Iterator
 
 import numpy as np
@@ -73,6 +74,9 @@ class FrameStream:
             if frame is None:
                 if self._done.is_set() and len(self._ring) == 0:
                     break
+                # Producer (decode/camera) is slower than us: yield the
+                # core briefly instead of busy-spinning on the empty ring.
+                time.sleep(0.0005)
                 continue
             pyramid = self._rt.convert_and_pyramid(frame, self._levels)
             yield frame_id, pyramid
