@@ -1,94 +1,403 @@
-"""Benchmark harness. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark harness. Prints one JSON line per workload; the HEADLINE line
+(basic-KLT tracked-features/s/chip vs the measured single-thread CPU
+baseline) is printed LAST:
 
-Headline metric: tracked features/s/chip for the flagship batched pyramidal
-basic-KLT (fast mode) at scale, on the reference demo geometry (752x480,
-4-level pyramid, half-patch 6). The reference publishes no numbers
-(BASELINE.md); vs_baseline is measured against BASELINE_FEATURES_PER_S, an
-estimate of the single-thread Eigen fast-KLT path (~300 features in ~2 ms),
-to be replaced by a real measurement if the reference toolchain becomes
-buildable.
+{"metric": "klt_tracked_features_per_s_per_chip", "value": N,
+ "unit": "features/s", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); the headline baseline is
+MEASURED each run from the faithful single-thread C++ port
+(native/klt_cpu_baseline.cpp) on this machine. Secondary workloads anchor
+``vs_baseline`` to the round-1 on-chip measurements recorded in BASELINE.md
+(>1.0 = faster than round 1), so the driver catches regressions across the
+whole matrix, not just basic KLT.
+
+Protocol (BASELINE.md "measurement protocol", memory: tpu tunnel traps):
+each workload runs in its OWN subprocess (the tunnel's remote program
+cache thrashes when distinct programs alternate); the timed step perturbs
+its input ON DEVICE and reduces every output to one scalar checksum
+(block_until_ready lies and repeat executions are memoized on this
+tunnel); the measured dispatch floor is subtracted.
 """
+
+import argparse
 import json
+import math
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-BASELINE_FEATURES_PER_S = 150_000.0  # estimated Eigen CPU baseline
+# Round-1 measured on-chip ms (BASELINE.md) used as regression anchors for
+# the secondary workloads. vs_baseline = anchor_ms / measured_ms.
+R1_ANCHOR_MS = {
+    "affine_klt": 270.0,
+    "lssd_klt": 320.0,
+    "farneback": 210.0,
+    "direct": 85.0,
+    "brief_match": 17.0,
+    "lightglue": 5.0,
+    "raft": 117.0,
+}
+WORKLOADS = ["affine_klt", "lssd_klt", "farneback", "direct",
+             "brief_match", "lightglue", "raft", "basic_klt"]
+PER_WORKLOAD_TIMEOUT_S = 420
 
 
-def main():
-    import jax.numpy as jnp
-    from feature_tracker_tpu.core.config import KltOptions
-    from feature_tracker_tpu.ops.pyramid import build_pyramid
-    from feature_tracker_tpu.trackers.klt import BasicKlt
-
-    # Reference-geometry images (use the mounted pair when present so the
-    # workload matches the reference demo; otherwise a synthetic texture).
+def _load_pair():
     try:
         from PIL import Image
         ref = np.asarray(Image.open(
-            "/root/reference/example/optical_flow/ref_image.png").convert("L"),
-            np.float32)
+            "/root/reference/example/optical_flow/ref_image.png")
+            .convert("L"), np.float32)
         cur = np.asarray(Image.open(
-            "/root/reference/example/optical_flow/cur_image.png").convert("L"),
-            np.float32)
+            "/root/reference/example/optical_flow/cur_image.png")
+            .convert("L"), np.float32)
     except Exception:
-        sys.path.insert(0, "tests")
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
         from synthetic import translated_pair
         ref, cur = translated_pair(h=480, w=752, shift=(7.0, -4.0))
+    return ref, cur
 
-    n = 10240  # tracks at scale; reference demo uses 300
-    rng = np.random.default_rng(0)
-    uv = np.stack([rng.uniform(20, ref.shape[1] - 20, n),
-                   rng.uniform(20, ref.shape[0] - 20, n)], -1).astype(np.float32)
 
-    ref_pyr = build_pyramid(jnp.asarray(ref), 4)
-    cur_pyr = build_pyramid(jnp.asarray(cur), 4)
-    tracker = BasicKlt(KltOptions(max_track_points=n))
-
-    import jax
-
-    cur_uv, status = tracker.track(ref_pyr, cur_pyr, uv)  # for `tracked`
-    tracked = int((np.asarray(status) == 1).sum())
-
-    # Compute-only protocol (see BASELINE.md): on the axon tunnel,
-    # block_until_ready can return before execution completes and
-    # identical program+input runs are memoized, so the timed call
-    # perturbs its input ON DEVICE (fresh execution, no host upload) and
-    # returns a scalar checksum (forces full compute, avoids paying the
-    # ~50 MB/s tunnel for bulk outputs). The measured ~29 ms round-trip
-    # floor is subtracted to estimate on-chip time.
-    uv_dev = jnp.asarray(uv)
-    step = jax.jit(lambda p, s: jnp.sum(
-        tracker.track(ref_pyr, cur_pyr, p + s)[0]))
-    floor_fn = jax.jit(lambda s: jnp.sum(uv_dev + s))
-    _ = float(step(uv_dev, 0.0))
+def _time_scalar_step(step, floor_fn, iters=5, rounds=3):
+    """Best-of compute-only timing: ``step(s)`` and ``floor_fn(s)`` take a
+    fresh scalar perturbation and return device scalars; the dispatch
+    floor is subtracted. Returns seconds per call."""
+    _ = float(step(0.0))
     _ = float(floor_fn(0.0))
-
-    iters = 5
     dt = float("inf")
     floor = float("inf")
-    for w_i in range(3):
+    for w_i in range(rounds):
         t0 = time.perf_counter()
         for i in range(iters):
-            _ = float(step(uv_dev, 0.01 * (w_i * iters + i + 1)))
+            _ = float(step(0.01 * (w_i * iters + i + 1)))
         dt = min(dt, (time.perf_counter() - t0) / iters)
         t0 = time.perf_counter()
         for i in range(iters):
             _ = float(floor_fn(0.01 * (w_i * iters + i + 1)))
         floor = min(floor, (time.perf_counter() - t0) / iters)
-    dt = max(dt - floor, 1e-6)
-    feats_per_s = n / dt
+    return max(dt - floor, 1e-6)
+
+
+def _emit(metric, value, unit, vs_baseline, extra=None):
     print(json.dumps({
-        "metric": "klt_tracked_features_per_s_per_chip",
-        "value": round(feats_per_s, 1),
-        "unit": "features/s",
-        "vs_baseline": round(feats_per_s / BASELINE_FEATURES_PER_S, 3),
-        "extra": {"n_features": n, "tracked": tracked,
-                  "ms_per_call": round(dt * 1e3, 3)},
-    }))
+        "metric": metric, "value": round(value, 3), "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+        "extra": extra or {}}), flush=True)
+
+
+# --------------------------------------------------------------- workloads
+
+def w_basic_klt():
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.core.config import KltOptions
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+    from feature_tracker_tpu.trackers.klt import BasicKlt
+
+    ref, cur = _load_pair()
+    n = 10240  # tracks at scale; the reference demo uses 300
+    rng = np.random.default_rng(0)
+    uv = np.stack([rng.uniform(20, ref.shape[1] - 20, n),
+                   rng.uniform(20, ref.shape[0] - 20, n)],
+                  -1).astype(np.float32)
+
+    ref_pyr = build_pyramid(jnp.asarray(ref), 4)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 4)
+    opts = KltOptions(max_track_points=n)
+    tracker = BasicKlt(opts)
+
+    _, status = tracker.track(ref_pyr, cur_pyr, uv)
+    tracked = int((np.asarray(status) == 1).sum())
+
+    uv_dev = jnp.asarray(uv)
+    step = jax.jit(lambda s: jnp.sum(
+        tracker.track(ref_pyr, cur_pyr, uv_dev + s)[0]))
+    floor_fn = jax.jit(lambda s: jnp.sum(uv_dev + s))
+    dt = _time_scalar_step(step, floor_fn)
+    feats_per_s = n / dt
+
+    # Measured single-thread CPU baseline (same workload, same machine).
+    try:
+        from feature_tracker_tpu.runtime.cpu_baseline import klt_fast_cpu
+        rp = [np.asarray(l) for l in ref_pyr]
+        cp = [np.asarray(l) for l in cur_pyr]
+        cpu_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, cpu_st = klt_fast_cpu(rp, cp, uv, opts=opts)
+            cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+        cpu_feats_per_s = n / cpu_dt
+        cpu_tracked = int((cpu_st == 1).sum())
+    except Exception:
+        cpu_feats_per_s = 150_000.0  # estimate if toolchain unavailable
+        cpu_tracked = -1
+
+    _emit("klt_tracked_features_per_s_per_chip", feats_per_s, "features/s",
+          feats_per_s / cpu_feats_per_s,
+          {"n_features": n, "tracked": tracked,
+           "ms_per_call": round(dt * 1e3, 3),
+           "cpu_baseline_features_per_s": round(cpu_feats_per_s, 1),
+           "cpu_tracked": cpu_tracked})
+
+
+def _warp_klt(kind):
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.core.config import KltOptions
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+    from feature_tracker_tpu.trackers.klt import AffineKlt, LssdKlt
+
+    ref, cur = _load_pair()
+    n = 10240
+    rng = np.random.default_rng(0)
+    uv = np.stack([rng.uniform(20, ref.shape[1] - 20, n),
+                   rng.uniform(20, ref.shape[0] - 20, n)],
+                  -1).astype(np.float32)
+    ref_pyr = build_pyramid(jnp.asarray(ref), 4)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 4)
+    cls = AffineKlt if kind == "affine_klt" else LssdKlt
+    tracker = cls(KltOptions(max_track_points=n))
+
+    _, status = tracker.track(ref_pyr, cur_pyr, uv)
+    tracked = int((np.asarray(status) == 1).sum())
+
+    uv_dev = jnp.asarray(uv)
+    step = jax.jit(lambda s: jnp.sum(
+        tracker.track(ref_pyr, cur_pyr, uv_dev + s)[0]))
+    floor_fn = jax.jit(lambda s: jnp.sum(uv_dev + s))
+    dt = _time_scalar_step(step, floor_fn)
+    _emit(f"{kind}_ms_per_call", dt * 1e3, "ms",
+          R1_ANCHOR_MS[kind] / (dt * 1e3),
+          {"n_features": n, "tracked": tracked,
+           "features_per_s": round(n / dt, 1)})
+
+
+def w_affine_klt():
+    _warp_klt("affine_klt")
+
+
+def w_lssd_klt():
+    _warp_klt("lssd_klt")
+
+
+def w_farneback():
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+    from feature_tracker_tpu.trackers.dense import (
+        DenseFlowOptions,
+        DenseOpticalFlow,
+    )
+
+    ref, cur = _load_pair()
+    rp = build_pyramid(jnp.asarray(ref), 5, quantize=False)
+    cp = build_pyramid(jnp.asarray(cur), 5, quantize=False)
+    flow_fn = DenseOpticalFlow(DenseFlowOptions(half_patch_size=2,
+                                                max_iterations=20)).track
+    step = jax.jit(lambda s: jnp.sum(
+        flow_fn(rp, tuple(l + s for l in cp))))
+    floor_fn = jax.jit(lambda s: jnp.sum(cp[0] + s))
+    dt = _time_scalar_step(step, floor_fn)
+    _emit("farneback_ms_per_frame", dt * 1e3, "ms",
+          R1_ANCHOR_MS["farneback"] / (dt * 1e3),
+          {"resolution": "752x480", "fps": round(1.0 / dt, 2)})
+
+
+def w_direct():
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+    from feature_tracker_tpu.trackers.direct import DirectMethod
+
+    try:
+        from PIL import Image
+        base = "/root/reference/example/direct_method/"
+        left = np.asarray(Image.open(base + "left.png").convert("L"),
+                          np.float32)
+        disparity = np.asarray(
+            Image.open(base + "disparity.png"), np.float32)
+        cur = np.asarray(Image.open(base + "000001.png").convert("L"),
+                         np.float32)
+    except Exception:
+        _emit("direct_ms_per_frame", 0.0, "ms", 0.0,
+              {"skipped": "no KITTI imagery"})
+        return
+
+    fx, fy, cx, cy = 718.856, 718.856, 607.1928, 185.2157
+    h, w = left.shape
+    rng = np.random.default_rng(0)
+    ref_uv = np.stack([rng.integers(0, w, 300),
+                       rng.integers(0, h, 300)], -1).astype(np.float32)
+    disp = disparity[ref_uv[:, 1].astype(int), ref_uv[:, 0].astype(int)]
+    depth = fx * 0.573 / np.maximum(disp, 1.0)
+    p_c_ref = np.stack([(ref_uv[:, 0] - cx) / fx,
+                        (ref_uv[:, 1] - cy) / fy,
+                        np.ones(300)], -1) * depth[:, None]
+    ref_pyr = build_pyramid(jnp.asarray(left), 5)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 5)
+    k4 = np.array([fx, fy, cx, cy], np.float32)
+    solver = DirectMethod()
+    p_dev = jnp.asarray(p_c_ref, jnp.float32)
+
+    def run(s):
+        uv, q, p, st = solver.track(ref_pyr, cur_pyr, k4,
+                                    p_dev + s * 1e-4, ref_uv)
+        return jnp.sum(uv) + jnp.sum(q) + jnp.sum(p)
+
+    step = jax.jit(run)
+    floor_fn = jax.jit(lambda s: jnp.sum(p_dev + s))
+    dt = _time_scalar_step(step, floor_fn)
+    _emit("direct_ms_per_frame", dt * 1e3, "ms",
+          R1_ANCHOR_MS["direct"] / (dt * 1e3),
+          {"resolution": f"{w}x{h}", "points": 300})
+
+
+def w_brief_match():
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.core.config import HarrisOptions
+    from feature_tracker_tpu.match.brief import compute_brief
+    from feature_tracker_tpu.match.matcher import (
+        fill_matched_pixels,
+        hamming_distance_matrix,
+        nearby_match,
+    )
+    from feature_tracker_tpu.ops.detect import detect_good_features
+
+    ref, cur = _load_pair()
+    ref_j, cur_j = jnp.asarray(ref), jnp.asarray(cur)
+    opts = HarrisOptions(min_feature_distance=20, min_valid_response=40.0)
+    n_cap = 300
+
+    def run(s):
+        rj = ref_j
+        cj = cur_j + s * 1e-3
+        ref_uv, _ = detect_good_features(rj, n_cap, opts)
+        cur_uv, _ = detect_good_features(cj, n_cap, opts)
+        ref_bits, ref_valid = compute_brief(rj, ref_uv)
+        cur_bits, cur_valid = compute_brief(cj, cur_uv)
+        dist = hamming_distance_matrix(ref_bits, cur_bits)
+        dist = jnp.where(ref_valid[:, None] & cur_valid[None, :],
+                         dist, jnp.inf)
+        idx = nearby_match(dist, ref_uv, cur_uv, max_valid_distance=60.0,
+                           max_col_distance=50.0, max_row_distance=50.0)
+        muv, st = fill_matched_pixels(idx, cur_uv)
+        return jnp.sum(muv) + jnp.sum(st.astype(jnp.float32))
+
+    matched = None
+    step = jax.jit(run)
+    floor_fn = jax.jit(lambda s: jnp.sum(cur_j + s))
+    dt = _time_scalar_step(step, floor_fn)
+    _emit("brief_pipeline_ms", dt * 1e3, "ms",
+          R1_ANCHOR_MS["brief_match"] / (dt * 1e3),
+          {"pipeline": "detect+describe+nearby_match", "cap": n_cap,
+           "matched": matched})
+
+
+def w_lightglue():
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.models.lightglue import (
+        LightGlue,
+        LightGlueConfig,
+    )
+
+    n = 256  # reference demo uses 250 keypoints
+    cfg = LightGlueConfig(depth=9)
+    model = LightGlue(cfg)
+    rng = np.random.default_rng(0)
+    kr = jnp.asarray(rng.uniform(0, 480, (n, 2)), jnp.float32)
+    kc = jnp.asarray(rng.uniform(0, 480, (n, 2)), jnp.float32)
+    dr = jnp.asarray(rng.normal(0, 1, (n, cfg.descriptor_dim)), jnp.float32)
+    dc = jnp.asarray(rng.normal(0, 1, (n, cfg.descriptor_dim)), jnp.float32)
+    mask = jnp.ones((n,), bool)
+    variables = model.init(jax.random.PRNGKey(0), kr, dr, mask, kc, dc,
+                           mask)
+
+    def run(s):
+        scores, _, _ = model.apply(variables, kr, dr + s * 1e-3, mask, kc,
+                                   dc, mask)
+        return jnp.sum(scores)
+
+    step = jax.jit(run)
+    floor_fn = jax.jit(lambda s: jnp.sum(dr + s))
+    dt = _time_scalar_step(step, floor_fn)
+    _emit("lightglue_ms_per_pair", dt * 1e3, "ms",
+          R1_ANCHOR_MS["lightglue"] / (dt * 1e3),
+          {"keypoints": n, "depth": cfg.depth})
+
+
+def w_raft():
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.models.raft import Raft, RaftConfig
+
+    cfg = RaftConfig(max_iterations=12, low_memory=True)
+    model = Raft(cfg)
+    rng = np.random.default_rng(0)
+    h, w = 440, 1024
+    ref = jnp.asarray(rng.uniform(0, 255, (1, h, w, 1)), jnp.float32)
+    cur = jnp.asarray(rng.uniform(0, 255, (1, h, w, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           ref[:, :64, :64], cur[:, :64, :64])
+
+    def run(s):
+        flows = model.apply(variables, ref, cur + s)
+        return jnp.sum(flows[-1])
+
+    step = jax.jit(run)
+    floor_fn = jax.jit(lambda s: jnp.sum(cur + s))
+    dt = _time_scalar_step(step, floor_fn, iters=3)
+    _emit("raft_ms_per_frame", dt * 1e3, "ms",
+          R1_ANCHOR_MS["raft"] / (dt * 1e3),
+          {"resolution": f"{w}x{h}", "iterations": cfg.max_iterations,
+           "low_memory": True, "fps": round(1.0 / dt, 2)})
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workload", choices=WORKLOADS, default=None)
+    parser.add_argument("--headline-only", action="store_true",
+                        help="run only the headline basic-KLT workload")
+    args = parser.parse_args()
+
+    if args.workload:
+        globals()[f"w_{args.workload}"]()
+        return
+
+    names = ["basic_klt"] if args.headline_only else WORKLOADS
+    headline = None
+    for name in names:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--workload", name],
+                capture_output=True, text=True,
+                timeout=PER_WORKLOAD_TIMEOUT_S,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            lines = [l for l in out.stdout.splitlines()
+                     if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(f"[bench] {name} produced no metric; "
+                                 f"stderr tail: {out.stderr[-400:]}\n")
+                continue
+            if name == "basic_klt":
+                headline = lines[-1]
+            else:
+                print(lines[-1], flush=True)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] {name} timed out\n")
+    if headline is not None:
+        print(headline, flush=True)
+    else:
+        sys.stderr.write("[bench] headline workload failed; running "
+                         "in-process as fallback\n")
+        w_basic_klt()
 
 
 if __name__ == "__main__":

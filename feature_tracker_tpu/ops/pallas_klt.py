@@ -8,17 +8,36 @@ XLA lowers that to an HBM gather per iteration, which TPUs execute poorly
 (~870 ms for 10k features at 4 levels).
 
 This kernel keeps ALL padded pyramid levels resident in VMEM (a 752x480
-float level is 1.4 MB; VMEM is ~16 MB) and runs the ENTIRE coarse-to-fine
-tracking loop on-chip in one launch: per feature, each level precomputes
-the reference patch/gradients/2x2 Hessian and iterates the Gauss-Newton
-update, then doubles the coordinates for the next level. One program
-dispatch per frame, zero HBM traffic inside the loop.
+float level is ~2 MB) and runs the ENTIRE coarse-to-fine tracking loop
+on-chip in one launch: per feature, each level precomputes the reference
+patch/gradients/2x2 Hessian and iterates the Gauss-Newton update, then
+doubles the coordinates for the next level. One program dispatch per
+frame, zero HBM traffic inside the loop.
 
-Sampling uses the roll-free hat-weight machinery shared with the
-affine/LSSD kernels (ops/pallas_warp_klt._Sampler): tile-aligned window
-loads with the sub-tile offset absorbed by the interpolation weights —
-Mosaic's dynamic sublane rotate miscompiles for several shift/shape
-combinations, so no in-register rolls anywhere.
+Performance notes (round 2 rework):
+ - Patches are separable constant-weight contractions of an aligned
+   window: ``patch = RW @ (WIN · CW^T)`` with hat-weight selection
+   matrices — tile-aligned loads with the sub-tile offset absorbed by the
+   interpolation weights (roll-free; Mosaic's dynamic sublane rotate
+   miscompiles for several shift/shape combos).
+ - Columns contract FIRST: ``u = WIN[24,256] · CW^T -> [24, pc]`` then
+   ``RW[pr,24] @ u`` — ~2x fewer MXU block-ops than the row-first order
+   because the wide (256-lane) contraction runs once, not twice.
+ - The compiled path replaces 6-pass ``Precision.HIGHEST`` matmuls with
+   an explicit 3-pass split-bfloat16 product (hi/lo decomposition of both
+   operands, lo x lo dropped): ~1e-3 gray-level accuracy on 0..255
+   imagery (vs ~0.3 gray for single-pass bf16 — enough to break the
+   |v|^2 < 4e-2 convergence threshold) at half the MXU issue count.
+   Interpret mode keeps exact float32 so the parity tests compare
+   bit-meaningfully against the jnp path; split-vs-f32 error has its own
+   numeric test (tests/test_pallas_klt.py).
+ - Iteration windows are [24, 256] (patch rows 16 + sublane alignment 7),
+   setup windows [32, 256] (extended patch rows 18 + 7); the padded-image
+   geometry guarantees every VALID tap is covered by the clamped aligned
+   load for any float position (see _geometry).
+ - Features interleave in batches of 8 independent scalar GN chains so
+   the small matmuls pipeline; the batch shares one early-exiting
+   ``while_loop`` (typical convergence: 2-5 of the 15 iterations).
 
 Semantics are bit-for-bit those of the jnp path (engine.py):
  - no valid reference pixel        -> OUTSIDE, position unchanged
@@ -43,91 +62,108 @@ from feature_tracker_tpu.core.config import KltOptions
 from feature_tracker_tpu.core.status import TrackStatus
 from feature_tracker_tpu.ops.pallas_warp_klt import (
     TILE,
-    WIN_C,
-    WIN_R,
     _advance,
     _round8,
     _smem_vec,
     _status0,
-    iterate_until_done,
 )
+
+WIN_C = 256  # window lanes: patch cols 16 + 128-aligned anchor offset
+
+
+def _split2(x):
+    """Exact-leading hi/lo bfloat16 decomposition of a float32 array."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _xdot(a, b, dims, precise: bool):
+    """dot_general with either exact f32 (interpret / parity) or the
+    3-pass split-bf16 product (compiled TPU path)."""
+    dn = (dims, ((), ()))
+    if precise:
+        return jax.lax.dot_general(a, b, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    ah, al = _split2(a)
+    bh, bl = _split2(b)
+
+    def d(p, q):
+        return jax.lax.dot_general(p, q, dn,
+                                   preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 class _RigidSampler:
     """Rigid (constant-bilinear-weight) patch sampler in 2D layout.
 
     Basic KLT's patch is rigidly offset from the feature point, so the
-    whole [pr, pc] patch is one separable contraction of the window:
-    patch = R @ W @ C^T with R [pr, WIN_R] / C [pc, WIN_C] hat-weight
-    selection matrices — ~10x fewer FLOPs than the per-pixel flat-P
-    formulation the warped kernels need, and the [pr, pc] layout packs
-    into 2 VPU tiles instead of flat-P's 22."""
+    whole [pr, pc] patch is one separable contraction of an aligned
+    window; the [pr, pc] layout packs into 2 VPU tiles instead of the
+    warped kernels' flat-P 22."""
 
     def __init__(self, opts: KltOptions, img_h, img_w, pad, hp, wp,
-                 rows=None, cols=None):
+                 rows=None, cols=None, precise: bool = True):
         self.pr = opts.patch_rows if rows is None else rows
         self.pc = opts.patch_cols if cols is None else cols
+        self.win_r = _round8(self.pr + 1 + 7)
         self.img_h, self.img_w = img_h, img_w
         self.pad, self.hp, self.wp = pad, hp, wp
+        self.precise = precise
         pr, pc = self.pr, self.pc
-        self.r_i = jax.lax.broadcasted_iota(jnp.int32, (pr, WIN_R), 0)
-        self.r_r = jax.lax.broadcasted_iota(jnp.int32, (pr, WIN_R), 1)
+        self.r_i = jax.lax.broadcasted_iota(jnp.int32, (pr, self.win_r), 0)
+        self.r_r = jax.lax.broadcasted_iota(jnp.int32, (pr, self.win_r), 1)
         self.c_j = jax.lax.broadcasted_iota(jnp.int32, (pc, WIN_C), 0)
         self.c_c = jax.lax.broadcasted_iota(jnp.int32, (pc, WIN_C), 1)
         self.v_i = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 0)
         self.v_j = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 1)
 
     def load_window(self, img, center_x, center_y):
+        """Aligned [win_r, WIN_C] window anchored at the patch start.
+        _geometry guarantees the clamp never cuts off a VALID tap."""
         r_des = jnp.clip(
-            jnp.floor(center_y).astype(jnp.int32) - 16 + self.pad,
-            0, self.hp - 32)
+            jnp.floor(center_y).astype(jnp.int32) - self.pr // 2 + self.pad,
+            0, self.hp - self.win_r)
         c_des = jnp.clip(
-            jnp.floor(center_x).astype(jnp.int32) - 16 + self.pad,
-            0, self.wp - 32)
-        r8 = pl.multiple_of(
-            jnp.minimum((r_des // 8) * 8, self.hp - WIN_R), 8)
-        c128 = pl.multiple_of(
-            jnp.minimum((c_des // 128) * 128, self.wp - WIN_C), 128)
-        win = img[pl.ds(r8, WIN_R), pl.ds(c128, WIN_C)]
+            jnp.floor(center_x).astype(jnp.int32) - self.pc // 2 + self.pad,
+            0, self.wp - WIN_C)
+        r8 = pl.multiple_of((r_des // 8) * 8, 8)
+        c128 = pl.multiple_of((c_des // 128) * 128, 128)
+        win = img[pl.ds(r8, self.win_r), pl.ds(c128, WIN_C)]
         return win, r8 - self.pad, c128 - self.pad
 
-    def sample(self, window, wr0, wc0, x, y, dr=0.0, dc=0.0):
-        """Const-weight [pr, pc] patch at (x, y) shifted by integer
-        (dr, dc). Returns (patch, valid) — valid per the reference bound
-        (floor anchor in [0, dim-2])."""
-        ly0 = y + dr - self.pr // 2 - wr0.astype(jnp.float32)
-        lx0 = x + dc - self.pc // 2 - wc0.astype(jnp.float32)
+    def sample(self, window, wr0, wc0, x, y):
+        """Const-weight [pr, pc] patch at (x, y). Columns contract first
+        (A·B^T form), then the narrow row contraction. Returns
+        (patch, valid) — valid per the reference bound (floor anchor in
+        [0, dim-2])."""
+        ly0 = y - self.pr // 2 - wr0.astype(jnp.float32)
+        lx0 = x - self.pc // 2 - wc0.astype(jnp.float32)
         rw = jnp.maximum(
             0.0, 1.0 - jnp.abs(ly0 + self.r_i.astype(jnp.float32)
                                - self.r_r.astype(jnp.float32)))
         cw = jnp.maximum(
             0.0, 1.0 - jnp.abs(lx0 + self.c_j.astype(jnp.float32)
                                - self.c_c.astype(jnp.float32)))
-        t = jax.lax.dot_general(rw, window, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-        patch = jax.lax.dot_general(t, cw, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-        valid = self.validity_at(x, y, dr, dc)
+        u = _xdot(window, cw, ((1,), (1,)), self.precise)   # [win_r, pc]
+        patch = _xdot(rw, u, ((1,), (0,)), self.precise)    # [pr, pc]
+        valid = self.validity_at(x, y)
         return jnp.where(valid, patch, 0.0), valid
 
-    def validity_at(self, x, y, dr=0, dc=0):
-        """Reference-bound validity of the integer-shifted patch grid."""
-        min_r = (jnp.floor(y).astype(jnp.int32) + jnp.int32(dr)
-                 - self.pr // 2)
-        min_c = (jnp.floor(x).astype(jnp.int32) + jnp.int32(dc)
-                 - self.pc // 2)
+    def validity_at(self, x, y):
+        """Reference-bound validity of the patch grid."""
+        min_r = jnp.floor(y).astype(jnp.int32) - self.pr // 2
+        min_c = jnp.floor(x).astype(jnp.int32) - self.pc // 2
         rr = self.v_i + min_r
         cc = self.v_j + min_c
         return ((rr >= 0) & (rr <= self.img_h - 2)
                 & (cc >= 0) & (cc <= self.img_w - 2))
 
-    def sample_validity_only(self, x, y):
-        return None, self.validity_at(x, y)
 
-
-def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int):
+def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
+            precise: bool):
     levels = len(shapes)
     ref_imgs = refs[:levels]
     cur_imgs = refs[levels:2 * levels]
@@ -136,14 +172,13 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int):
 
     tile_base = pl.program_id(0) * TILE
     epr, epc = opts.ex_patch_rows, opts.ex_patch_cols
-    samplers = [_RigidSampler(opts, h, w, pad, hp, wp)
+    samplers = [_RigidSampler(opts, h, w, pad, hp, wp, precise=precise)
                 for (h, w, hp, wp) in shapes]
     # Extended sampler: patch + 1px gradient border in ONE contraction
     # (static float-array slicing of the result is safe; only bool/iota
     # slicing crashes Mosaic).
     ex_samplers = [_RigidSampler(opts, h, w, pad, hp, wp,
-                                 rows=opts.ex_patch_rows,
-                                 cols=opts.ex_patch_cols)
+                                 rows=epr, cols=epc, precise=precise)
                    for (h, w, hp, wp) in shapes]
 
     def ref_setup(lvl, rx, ry):
@@ -190,7 +225,7 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int):
         """Fast-mode tracking of a BATCH of features at one level.
 
         The B features' chains are independent, so their small matmuls
-        and window loads interleave — hiding the MXU/VMEM latency that
+        and window loads interleave — hiding the MXU/VPU latency that
         serializes a one-feature-at-a-time loop. Lists in, lists out."""
         smp = samplers[lvl]
         b = len(rxs)
@@ -274,12 +309,20 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int):
 
 
 def _geometry(opts: KltOptions, img):
-    """Padded-image geometry for one level (same constraints as the warp
-    kernels: room for the [WIN_R, WIN_C] aligned superset windows)."""
+    """Padded-image geometry for one level.
+
+    The clamp in load_window must never exclude a VALID tap. For any
+    float center, valid rows exist only while floor(y) <= h-2+pr//2; the
+    natural aligned anchor there is floor8(h-2+pad), so
+    hp >= h + pad + SWIN_R - 2 keeps the upper clamp inactive whenever
+    valid rows exist (SWIN_R = the larger, setup window). Columns the
+    same with 128-alignment: wp >= w + pad + WIN_C - 127 - 2. The lower
+    clamp needs pad >= ex_patch + 1."""
     pad = max(opts.ex_patch_rows, opts.ex_patch_cols) + 3
+    swin_r = _round8(opts.ex_patch_rows + 1 + 7)
     h, w = img.shape
-    hp = _round8(max(h + 2 * pad, WIN_R))
-    wp = ((max(w + 2 * pad, WIN_C) + 127) // 128) * 128
+    hp = _round8(max(h + pad + swin_r - 2, swin_r))
+    wp = ((max(w + pad + WIN_C - 129, WIN_C) + 127) // 128) * 128
     padded = jnp.pad(img, ((pad, hp - h - pad), (pad, wp - w - pad)))
     return padded, (h, w, hp, wp), pad
 
@@ -310,7 +353,7 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
     shapes = tuple(shapes[:levels])
 
     kernel = functools.partial(_kernel, opts=opts, shapes=shapes, pad=pad,
-                               n_features=n)
+                               n_features=n, precise=interpret)
     smem_vec = _smem_vec()
     out_x, out_y, status = pl.pallas_call(
         kernel,

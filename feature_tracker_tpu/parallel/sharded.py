@@ -47,7 +47,20 @@ def shard_features(mesh, *arrays, pad_value=0.0):
 def track_klt_sharded(tracker, mesh, ref_pyramid, cur_pyramid, ref_uv,
                       cur_uv=None, status=None):
     """Track features sharded over the mesh; returns (cur_uv, status) of
-    the original length."""
+    the original length.
+
+    The tracker runs inside ``jax.shard_map`` so each device executes the
+    WHOLE tracker — including the Pallas kernel on real TPUs — on its
+    local feature shard with replicated images (GSPMD cannot partition a
+    ``pallas_call`` on its own). The global ``max_track_points`` cap is
+    applied outside the map: inside, every local lane is tracked (local
+    index order is not global order), and capped lanes are restored to
+    their inputs afterwards — identical semantics to the single-device
+    wrapper (trackers/klt/__init__.py)."""
+    import copy
+    import dataclasses
+    from functools import partial
+
     n = ref_uv.shape[0]
     ref_uv = jnp.asarray(ref_uv, jnp.float32)
     cur_uv = (jnp.asarray(cur_uv, jnp.float32) if cur_uv is not None
@@ -57,16 +70,32 @@ def track_klt_sharded(tracker, mesh, ref_pyramid, cur_pyramid, ref_uv,
 
     # Padded lanes are marked failed so the tracker skips them
     # (reference semantics: failed features are not re-tracked).
-    _, s_ref, s_cur = shard_features(mesh, ref_uv, cur_uv)
+    n_pad, s_ref, s_cur = shard_features(mesh, ref_uv, cur_uv)
     _, s_status = shard_features(mesh, status,
                                  pad_value=int(TrackStatus.OUTSIDE))
     rep = replicated(mesh)
     ref_pyramid = tuple(jax.device_put(a, rep) for a in ref_pyramid)
     cur_pyramid = tuple(jax.device_put(a, rep) for a in cur_pyramid)
 
-    out_uv, out_status = tracker.track(ref_pyramid, cur_pyramid, s_ref,
-                                       s_cur, s_status)
-    return out_uv[:n], out_status[:n]
+    local = copy.copy(tracker)
+    local.options = dataclasses.replace(tracker.options,
+                                        max_track_points=n_pad)
+    axes = tuple(mesh.axis_names)
+    spec_f = jax.sharding.PartitionSpec(axes)
+    spec_r = jax.sharding.PartitionSpec()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(spec_r, spec_r, spec_f, spec_f, spec_f),
+             out_specs=(spec_f, spec_f), check_vma=False)
+    def run(ref_pyr, cur_pyr, r_uv, c_uv, st):
+        return local.track(ref_pyr, cur_pyr, r_uv, c_uv, st)
+
+    out_uv, out_status = run(ref_pyramid, cur_pyramid, s_ref, s_cur,
+                             s_status)
+    capped = jnp.arange(n) >= tracker.options.max_track_points
+    out_uv = jnp.where(capped[:, None], cur_uv, out_uv[:n])
+    out_status = jnp.where(capped, status, out_status[:n])
+    return out_uv, out_status
 
 
 def track_direct_sharded(solver, mesh, ref_pyramid, cur_pyramid, k4,

@@ -91,3 +91,30 @@ def test_pallas_pyramid_kernel_matches_jnp_pyramid():
     np.testing.assert_array_equal(np.asarray(want_st), np.asarray(got_st))
     np.testing.assert_allclose(np.asarray(want_uv), np.asarray(got_uv),
                                atol=1e-3)
+
+
+def test_split_bf16_dot_error_bound():
+    """The compiled path's 3-pass split-bf16 product must stay within
+    ~1e-2 gray levels of exact f32 on 0..255 imagery-scale operands —
+    two orders tighter than single-pass bf16 (which breaks the KLT
+    convergence threshold)."""
+    from feature_tracker_tpu.ops.pallas_klt import _xdot
+
+    rng = np.random.default_rng(0)
+    win = jnp.asarray(rng.uniform(0, 255, (24, 256)), jnp.float32)
+    cw = jnp.zeros((15, 256), jnp.float32)
+    # Hat-weight-like rows: two adjacent taps summing to 1.
+    cols = rng.integers(0, 255, 15)
+    fr = rng.uniform(0, 1, 15)
+    cw = cw.at[np.arange(15), cols].set(1 - fr).at[
+        np.arange(15), cols + 1].set(fr)
+
+    exact = _xdot(win, cw, ((1,), (1,)), precise=True)
+    split = _xdot(win, cw, ((1,), (1,)), precise=False)
+    err = np.abs(np.asarray(exact) - np.asarray(split)).max()
+    assert err < 1e-2, err
+    naive = jnp.dot(win.astype(jnp.bfloat16),
+                    cw.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)
+    naive_err = np.abs(np.asarray(exact) - np.asarray(naive)).max()
+    assert err < naive_err / 5  # materially tighter than 1-pass bf16

@@ -259,3 +259,63 @@ def test_bundle_adjust_on_2d_mesh():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(base[2]), np.asarray(shard[2]),
                                rtol=1e-3, atol=5e-3)
+
+
+def test_track_klt_sharded_respects_global_cap():
+    """max_track_points is a GLOBAL index cap; under shard_map the cap is
+    applied outside the map (local shard order is not global order)."""
+    ref, cur = translated_pair(h=96, w=128, shift=(2.0, -1.0))
+    ref_pyr = build_pyramid(jnp.asarray(ref), 2)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 2)
+    rng = np.random.default_rng(2)
+    uv = np.stack([rng.uniform(20, 108, 24), rng.uniform(20, 76, 24)],
+                  -1).astype(np.float32)
+    tracker = BasicKlt(KltOptions(max_track_points=10))
+    base_uv, base_st = tracker.track(ref_pyr, cur_pyr, uv)
+    mesh = make_mesh()
+    sh_uv, sh_st = track_klt_sharded(tracker, mesh, ref_pyr, cur_pyr, uv)
+    np.testing.assert_array_equal(np.asarray(base_st), np.asarray(sh_st))
+    np.testing.assert_allclose(np.asarray(base_uv), np.asarray(sh_uv),
+                               atol=1e-4)
+    # Capped lanes keep their inputs.
+    np.testing.assert_array_equal(np.asarray(sh_uv)[10:], uv[10:])
+
+
+def test_pallas_kernel_runs_under_shard_map():
+    """The Pallas pyramid kernel (interpret mode on CPU) must compose
+    with shard_map over the feature axis — the code path real TPU meshes
+    take (VERDICT r1 item 4)."""
+    from functools import partial
+    from feature_tracker_tpu.core.config import KltOptions as KO
+    from feature_tracker_tpu.ops.pallas_klt import (
+        track_pyramid_fast_pallas,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    ref, cur = translated_pair(h=64, w=96, shift=(2.0, -1.0))
+    ref_pyr = build_pyramid(jnp.asarray(ref), 2)
+    cur_pyr = build_pyramid(jnp.asarray(cur), 2)
+    rng = np.random.default_rng(3)
+    n = 32
+    uv = jnp.asarray(np.stack([rng.uniform(10, 86, n),
+                               rng.uniform(10, 54, n)],
+                              -1).astype(np.float32))
+    opts = KO(max_track_points=n)
+
+    base_uv, base_st = track_pyramid_fast_pallas(opts, ref_pyr, cur_pyr,
+                                                 uv, uv, interpret=True)
+    mesh = make_mesh()
+    sh = feature_sharding(mesh)
+    uv_sh = jax.device_put(uv, sh)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P("data"), P("data")),
+             out_specs=(P("data"), P("data")), check_vma=False)
+    def run(rp, cp, r, c):
+        return track_pyramid_fast_pallas(opts, rp, cp, r, c,
+                                         interpret=True)
+
+    sh_uv, sh_st = run(ref_pyr, cur_pyr, uv_sh, uv_sh)
+    np.testing.assert_array_equal(np.asarray(base_st), np.asarray(sh_st))
+    np.testing.assert_allclose(np.asarray(base_uv), np.asarray(sh_uv),
+                               atol=1e-4)
