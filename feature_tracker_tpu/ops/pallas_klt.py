@@ -14,30 +14,45 @@ patch/gradients/2x2 Hessian and iterates the Gauss-Newton update, then
 doubles the coordinates for the next level. One program dispatch per
 frame, zero HBM traffic inside the loop.
 
-Performance notes (round 2 rework):
- - Patches are separable constant-weight contractions of an aligned
-   window: ``patch = RW @ (WIN · CW^T)`` with hat-weight selection
-   matrices — tile-aligned loads with the sub-tile offset absorbed by the
-   interpolation weights (roll-free; Mosaic's dynamic sublane rotate
-   miscompiles for several shift/shape combos).
- - Columns contract FIRST: ``u = WIN[24,256] · CW^T -> [24, pc]`` then
-   ``RW[pr,24] @ u`` — ~2x fewer MXU block-ops than the row-first order
-   because the wide (256-lane) contraction runs once, not twice.
+Performance notes (round 2 rework; measured on 1x v5e in BASELINE.md):
+ - Patch sampling is a separable constant-weight contraction of an
+   aligned window with hat-weight selection matrices — tile-aligned
+   loads with the sub-tile offset absorbed by the interpolation weights
+   (roll-free; Mosaic's dynamic sublane rotate miscompiles for several
+   shift/shape combos).
+ - The wide (256-lane) column contraction is STACKED across the
+   interleave batch: one ``[B*win_r, 256] x [256, B*16]`` matmul
+   computes every feature's column-interpolated block per iteration
+   (and per reference setup), ~4x fewer MXU issues than per-feature
+   matmuls; feature k's block is read back at tile-aligned offsets
+   (off-diagonal blocks are never read).
+ - The per-iteration bias uses a MASKED TRACE IDENTITY instead of
+   materializing the patch:  b = sum(A_E) - <A_D, U>  with
+   A = RW_masked^T @ [dx|dy|dx*inner|dy*inner]. The reference's dt
+   validity mask is a separable rectangle, so it folds exactly into a
+   row mask on RW^T and one lane mask on the gradient block; the
+   <grad*inner> constant falls out of the same matmul because hat
+   weights are a partition of unity over the window. num_valid is the
+   closed-form area of the rectangle intersection. No branches — border
+   and interior features share one path, bit-equivalent semantics
+   (modulo float summation order; see the identity parity test).
  - The compiled path replaces 6-pass ``Precision.HIGHEST`` matmuls with
-   an explicit 3-pass split-bfloat16 product (hi/lo decomposition of both
-   operands, lo x lo dropped): ~1e-3 gray-level accuracy on 0..255
+   an explicit 3-pass split-bfloat16 product (hi/lo decomposition of
+   both operands, lo x lo dropped): ~1e-3 gray-level accuracy on 0..255
    imagery (vs ~0.3 gray for single-pass bf16 — enough to break the
    |v|^2 < 4e-2 convergence threshold) at half the MXU issue count.
-   Interpret mode keeps exact float32 so the parity tests compare
-   bit-meaningfully against the jnp path; split-vs-f32 error has its own
-   numeric test (tests/test_pallas_klt.py).
- - Iteration windows are [24, 256] (patch rows 16 + sublane alignment 7),
-   setup windows [32, 256] (extended patch rows 18 + 7); the padded-image
-   geometry guarantees every VALID tap is covered by the clamped aligned
-   load for any float position (see _geometry).
- - Features interleave in batches of 8 independent scalar GN chains so
-   the small matmuls pipeline; the batch shares one early-exiting
-   ``while_loop`` (typical convergence: 2-5 of the 15 iterations).
+   Interpret mode keeps exact float32 f32 matmuls and the
+   reference-ordered (non-identity) bias so the parity tests compare
+   bit-meaningfully against the jnp path; the identity and split paths
+   have their own tolerance tests (tests/test_pallas_klt.py).
+ - Iteration windows are [24, 256] (patch rows 16 + sublane alignment
+   7), setup windows [32, 256]; the padded-image geometry guarantees
+   every VALID tap is covered by the clamped aligned load for any float
+   position (see _geometry). Loads measured free (VMEM reads ~4KB/cy).
+ - Features interleave in batches of 4 independent scalar GN chains
+   sharing one early-exiting ``while_loop`` (typical convergence: 2-5 of
+   the 15 iterations; measured batch-max ~4.3). B=2/8 measured slower
+   (pipelining vs straggler trade).
 
 Semantics are bit-for-bit those of the jnp path (engine.py):
  - no valid reference pixel        -> OUTSIDE, position unchanged
@@ -161,9 +176,65 @@ class _RigidSampler:
         return ((rr >= 0) & (rr <= self.img_h - 2)
                 & (cc >= 0) & (cc <= self.img_w - 2))
 
+    def interior_at(self, x, y):
+        """Scalar: every patch tap anchor strictly valid (full-true
+        validity rectangle) — the precondition for the trace-identity
+        fast path."""
+        min_r = jnp.floor(y).astype(jnp.int32) - self.pr // 2
+        min_c = jnp.floor(x).astype(jnp.int32) - self.pc // 2
+        return ((min_r >= 0) & (min_r + self.pr - 1 <= self.img_h - 2)
+                & (min_c >= 0) & (min_c + self.pc - 1 <= self.img_w - 2))
+
+    def row_weights_t(self, ly0, i_lo=None, i_hi=None):
+        """Transposed row hat weights [win_r, pr] built directly (no
+        transpose op): rwT[r, i] = hat(ly0 + i - r), optionally zeroed
+        outside patch-row range [i_lo, i_hi] (the cur-validity row
+        mask)."""
+        r = jax.lax.broadcasted_iota(jnp.int32, (self.win_r, self.pr), 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, (self.win_r, self.pr), 1)
+        w = jnp.maximum(
+            0.0, 1.0 - jnp.abs(ly0 + i.astype(jnp.float32)
+                               - r.astype(jnp.float32)))
+        if i_lo is not None:
+            w = jnp.where((i >= i_lo) & (i <= i_hi), w, 0.0)
+        return w
+
+    def stacked_col_weights(self, lx0_list, stride: int = 16):
+        """Column hat weights for B features stacked at a power-of-two
+        row stride: CW_all[stride*k + j, c] = hat(lx0_k + j - c) for
+        j in [0, stride) (rows past the patch width are junk lanes never
+        read back). One [B*stride, WIN_C] build + one stacked
+        contraction replaces B separate ones."""
+        b = len(lx0_list)
+        rows = stride * b
+        shift = stride.bit_length() - 1
+        i = jax.lax.broadcasted_iota(jnp.int32, (rows, WIN_C), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, WIN_C), 1)
+        j = (i & (stride - 1)).astype(jnp.float32)
+        k = i >> shift
+        lx0 = lx0_list[0]
+        for kk in range(1, b):
+            lx0 = jnp.where(k >= kk, lx0_list[kk], lx0)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(lx0 + j
+                                              - c.astype(jnp.float32)))
+
+    def stacked_samples(self, imgs, xs, ys):
+        """Load B windows and compute every feature's column-contracted
+        block in ONE stacked matmul. Returns (U_all, loads); feature k's
+        [win_r, stride] block is U_all[win_r*k :, stride*k :]."""
+        b = len(xs)
+        stride = 16 if self.pc <= 16 else 32
+        loads = [self.load_window(imgs, xs[k], ys[k]) for k in range(b)]
+        wins_all = jnp.concatenate([w for (w, _, _) in loads], axis=0)
+        lx0s = [xs[k] - self.pc // 2 - loads[k][2].astype(jnp.float32)
+                for k in range(b)]
+        cw_all = self.stacked_col_weights(lx0s, stride)
+        u_all = _xdot(wins_all, cw_all, ((1,), (1,)), self.precise)
+        return u_all, loads, stride
+
 
 def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
-            precise: bool):
+            precise: bool, use_identity: bool):
     levels = len(shapes)
     ref_imgs = refs[:levels]
     cur_imgs = refs[levels:2 * levels]
@@ -181,12 +252,10 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                                  rows=epr, cols=epc, precise=precise)
                    for (h, w, hp, wp) in shapes]
 
-    def ref_setup(lvl, rx, ry):
-        """Per-level reference quantities for one feature."""
+    def ref_setup(lvl, rx, ry, ex_patch):
+        """Per-level reference quantities for one feature (``ex_patch``
+        comes from the batched stacked extraction)."""
         smp = samplers[lvl]
-        exs = ex_samplers[lvl]
-        window, wr0, wc0 = exs.load_window(ref_imgs[lvl], rx, ry)
-        ex_patch, _ = exs.sample(window, wr0, wc0, rx, ry)
         inner = ex_patch[1:-1, 1:-1]
         # Validity rectangles in closed form: the intersection of the 4
         # gradient-neighbor validities is one rectangle (anchor row/col
@@ -219,7 +288,25 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         hi_c = jnp.minimum(fx - epc // 2 + epc - 1, smp.img_w - 2)
         n_ref = (jnp.maximum(hi_r - lo_r + 1, 0)
                  * jnp.maximum(hi_c - lo_c + 1, 0))
-        return inner, inner_valid, dx, dy, (h00, h01, h11, det), n_ref == 0
+
+        # Masked-trace-identity operands (see iter_body): the gradient
+        # pair and the <grad, inner> integrands in one lane-stacked
+        # [pr, 64] block (16-lane stride keeps every read-back slice
+        # tile-aligned), plus the reference-validity rectangle bounds in
+        # patch coordinates (scalars) for the closed-form valid count.
+        pc = smp.pc
+        zcol = jnp.zeros((smp.pr, 16 - pc), jnp.float32)
+        d_aug = jnp.concatenate(
+            [dx, zcol, dy, zcol, dx * inner, zcol, dy * inner, zcol],
+            axis=1)                                           # [pr, 64]
+        rmin_r = jnp.floor(ry).astype(jnp.int32) - smp.pr // 2
+        rmin_c = jnp.floor(rx).astype(jnp.int32) - smp.pc // 2
+        ref_rect = (jnp.maximum(0, -rmin_r),
+                    jnp.minimum(smp.pr - 1, smp.img_h - 2 - rmin_r),
+                    jnp.maximum(0, -rmin_c),
+                    jnp.minimum(smp.pc - 1, smp.img_w - 2 - rmin_c))
+        return (inner, inner_valid, dx, dy, (h00, h01, h11, det),
+                n_ref == 0, d_aug, ref_rect)
 
     def track_level_batch(lvl, rxs, rys, xs, ys):
         """Fast-mode tracking of a BATCH of features at one level.
@@ -228,26 +315,103 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         and window loads interleave — hiding the MXU/VPU latency that
         serializes a one-feature-at-a-time loop. Lists in, lists out."""
         smp = samplers[lvl]
+        exs = ex_samplers[lvl]
         b = len(rxs)
-        setups = [ref_setup(lvl, rxs[k], rys[k]) for k in range(b)]
+        # Batched reference setup: one stacked contraction extracts all
+        # B extended patches' column blocks.
+        uex_all, exloads, exstride = exs.stacked_samples(
+            ref_imgs[lvl], rxs, rys)
+        ex_patches = []
+        for k in range(b):
+            _, wr0, wc0 = exloads[k]
+            ly0 = rys[k] - exs.pr // 2 - wr0.astype(jnp.float32)
+            rw = jnp.maximum(
+                0.0, 1.0 - jnp.abs(ly0 + exs.r_i.astype(jnp.float32)
+                                   - exs.r_r.astype(jnp.float32)))
+            uex = uex_all[exs.win_r * k:exs.win_r * (k + 1),
+                          exstride * k:exstride * k + exs.pc]
+            patch = _xdot(rw, uex, ((1,), (0,)), precise)
+            ex_patches.append(
+                jnp.where(exs.validity_at(rxs[k], rys[k]), patch, 0.0))
+        setups = [ref_setup(lvl, rxs[k], rys[k], ex_patches[k])
+                  for k in range(b)]
+
+        def slow_bias(k, cwin, cwr0, cwc0, x, y):
+            """Masked-patch bias (reference semantics near borders)."""
+            inner, inner_valid, dx, dy = setups[k][:4]
+            curv, okcur = smp.sample(cwin, cwr0, cwc0, x, y)
+            valid = okcur & inner_valid
+            dt = jnp.where(valid, curv - inner, 0.0)
+            return (-jnp.sum(dx * dt), -jnp.sum(dy * dt),
+                    jnp.sum(valid.astype(jnp.int32)))
 
         def iter_body(_, carry):
+            xs_c = [carry[6 * k] for k in range(b)]
+            ys_c = [carry[6 * k + 1] for k in range(b)]
+            if use_identity:
+                # ONE stacked contraction computes every feature's
+                # column-interpolated window: U_all[24k+r, 16k+j] is
+                # feature k's sample column j at window row r (the
+                # off-diagonal blocks are never read).
+                u_all, loads, _ = smp.stacked_samples(cur_imgs[lvl],
+                                                      xs_c, ys_c)
+            else:
+                loads = [smp.load_window(cur_imgs[lvl], xs_c[k], ys_c[k])
+                         for k in range(b)]
+
             out = []
             for k in range(b):
                 x, y, status, last_sq, cnt, done = (
                     carry[6 * k:6 * k + 6])
-                inner, inner_valid, dx, dy, (h00, h01, h11, det), _ = (
-                    setups[k])
-                cwin, cwr0, cwc0 = smp.load_window(cur_imgs[lvl], x, y)
-                curv, okcur = smp.sample(cwin, cwr0, cwc0, x, y)
-                valid = okcur & inner_valid
-                dt = jnp.where(valid, curv - inner, 0.0)
-                b0 = -jnp.sum(dx * dt)
-                b1 = -jnp.sum(dy * dt)
+                (h00, h01, h11, det) = setups[k][4]
+                d_aug, ref_rect = setups[k][6:8]
+                cwin, cwr0, cwc0 = loads[k]
+
+                if use_identity:
+                    # Masked trace identity — EXACT reference semantics
+                    # with no branch: the dt mask (cur validity & ref
+                    # validity) is a separable rectangle, so it folds
+                    # into the row weights (i-mask on rwT) and one lane
+                    # mask on the stacked gradient block:
+                    #   b = sum(A[:, E-blocks]) - <A[:, D-blocks], U>
+                    # using sum_r rwT[r, i] = 1 for unmasked taps (hat
+                    # weights are a partition of unity inside the
+                    # window, which _geometry guarantees covers every
+                    # valid tap).
+                    min_r = jnp.floor(y).astype(jnp.int32) - smp.pr // 2
+                    min_c = jnp.floor(x).astype(jnp.int32) - smp.pc // 2
+                    ci_lo = jnp.maximum(0, -min_r)
+                    ci_hi = jnp.minimum(smp.pr - 1,
+                                        smp.img_h - 2 - min_r)
+                    cj_lo = jnp.maximum(0, -min_c)
+                    cj_hi = jnp.minimum(smp.pc - 1,
+                                        smp.img_w - 2 - min_c)
+                    ly0 = y - smp.pr // 2 - cwr0.astype(jnp.float32)
+                    rwt = smp.row_weights_t(ly0, ci_lo, ci_hi)
+                    j16 = jax.lax.broadcasted_iota(jnp.int32, (1, 64),
+                                                   1) & 15
+                    colmask = ((j16 >= cj_lo)
+                               & (j16 <= cj_hi)).astype(jnp.float32)
+                    a = _xdot(rwt, d_aug * colmask, ((1,), (0,)),
+                              precise)                       # [24, 64]
+                    wr = smp.win_r
+                    u16 = u_all[wr * k:wr * (k + 1),
+                                16 * k:16 * k + 16]
+                    b0 = jnp.sum(a[:, 32:48]) - jnp.sum(a[:, :16] * u16)
+                    b1 = (jnp.sum(a[:, 48:64])
+                          - jnp.sum(a[:, 16:32] * u16))
+                    ri_lo, ri_hi, rj_lo, rj_hi = ref_rect
+                    num_valid = (
+                        jnp.maximum(0, jnp.minimum(ci_hi, ri_hi)
+                                    - jnp.maximum(ci_lo, ri_lo) + 1)
+                        * jnp.maximum(0, jnp.minimum(cj_hi, rj_hi)
+                                      - jnp.maximum(cj_lo, rj_lo) + 1))
+                else:
+                    b0, b1, num_valid = slow_bias(k, cwin, cwr0, cwc0,
+                                                  x, y)
                 # Closed-form 2x2 solve (LDLT equivalent).
                 vx = (h11 * b0 - h01 * b1) / det
                 vy = (h00 * b1 - h01 * b0) / det
-                num_valid = jnp.sum(valid.astype(jnp.int32))
                 upd, status, last_sq, cnt, done = _advance(
                     done, status, last_sq, cnt, [vx, vy], num_valid, opts)
                 out.extend([jnp.where(upd, x + vx, x),
@@ -327,13 +491,21 @@ def _geometry(opts: KltOptions, img):
     return padded, (h, w, hp, wp), pad
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("opts", "interpret", "use_identity"))
 def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
-                              ref_uv, cur_uv, interpret: bool = False):
+                              ref_uv, cur_uv, interpret: bool = False,
+                              use_identity: bool | None = None):
     """Whole-pyramid fast-mode tracker in ONE kernel launch.
 
     Returns (uv [N,2] full-resolution, status [N] int8). Skip handling
-    and the final outside check are applied by the caller."""
+    and the final outside check are applied by the caller.
+
+    ``use_identity`` enables the interior-feature trace-identity bias
+    (default: on for the compiled path, off in interpret mode so the
+    parity tests compare the reference-ordered arithmetic)."""
+    if use_identity is None:
+        use_identity = not interpret
     levels = len(ref_pyramid)
     n = ref_uv.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -353,7 +525,8 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
     shapes = tuple(shapes[:levels])
 
     kernel = functools.partial(_kernel, opts=opts, shapes=shapes, pad=pad,
-                               n_features=n, precise=interpret)
+                               n_features=n, precise=interpret,
+                               use_identity=use_identity)
     smem_vec = _smem_vec()
     out_x, out_y, status = pl.pallas_call(
         kernel,

@@ -118,3 +118,35 @@ def test_split_bf16_dot_error_bound():
                     preferred_element_type=jnp.float32)
     naive_err = np.abs(np.asarray(exact) - np.asarray(naive)).max()
     assert err < naive_err / 5  # materially tighter than 1-pass bf16
+
+
+def test_identity_fast_path_matches_slow_path():
+    """The interior-feature trace-identity bias (compiled default) must
+    agree with the reference-ordered masked-patch bias to float-reorder
+    tolerance: same endpoints to ~1e-2 px, at most one borderline status
+    flip per few hundred features."""
+    from feature_tracker_tpu.ops.pallas_klt import (
+        track_pyramid_fast_pallas,
+    )
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+
+    ref, cur = translated_pair(h=120, w=160, shift=(3.0, -2.0))
+    rp = build_pyramid(jnp.asarray(ref), 3)
+    cp = build_pyramid(jnp.asarray(cur), 3)
+    rng = np.random.default_rng(7)
+    n = 96
+    uv = jnp.asarray(np.stack([rng.uniform(2, 158, n),
+                               rng.uniform(2, 118, n)],
+                              -1).astype(np.float32))
+    opts = KltOptions(max_track_points=n)
+    uv_s, st_s = track_pyramid_fast_pallas(opts, rp, cp, uv, uv,
+                                           interpret=True,
+                                           use_identity=False)
+    uv_f, st_f = track_pyramid_fast_pallas(opts, rp, cp, uv, uv,
+                                           interpret=True,
+                                           use_identity=True)
+    st_s, st_f = np.asarray(st_s), np.asarray(st_f)
+    assert (st_s != st_f).sum() <= 1, np.nonzero(st_s != st_f)
+    both = (st_s == 1) & (st_f == 1)
+    d = np.abs(np.asarray(uv_s)[both] - np.asarray(uv_f)[both])
+    assert d.max() < 1e-2, d.max()
