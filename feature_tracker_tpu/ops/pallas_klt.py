@@ -81,34 +81,10 @@ from feature_tracker_tpu.ops.pallas_warp_klt import (
     _round8,
     _smem_vec,
     _status0,
+    _xdot,
 )
 
 WIN_C = 256  # window lanes: patch cols 16 + 128-aligned anchor offset
-
-
-def _split2(x):
-    """Exact-leading hi/lo bfloat16 decomposition of a float32 array."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _xdot(a, b, dims, precise: bool):
-    """dot_general with either exact f32 (interpret / parity) or the
-    3-pass split-bf16 product (compiled TPU path)."""
-    dn = (dims, ((), ()))
-    if precise:
-        return jax.lax.dot_general(a, b, dn,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-    ah, al = _split2(a)
-    bh, bl = _split2(b)
-
-    def d(p, q):
-        return jax.lax.dot_general(p, q, dn,
-                                   preferred_element_type=jnp.float32)
-
-    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 class _RigidSampler:

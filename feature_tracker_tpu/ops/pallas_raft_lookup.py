@@ -43,13 +43,18 @@ WIN_ROWS = 16    # rows loaded (WIN_PX + 8 for sublane alignment)
 KPAD = WIN_PX * WIN_PX  # padded taps per level (8x8 lanes)
 
 
-def _kernel(*refs, radius: int, shapes, c: int):
+def _kernel(*refs, radius: int, shapes, c: int, n_item: int):
     # shapes: per level (hl, wl, hp) with hp the PADDED row count, a
     # multiple of 8 plus 8 — so hp - WIN_ROWS is 8-aligned and the
     # aligned-window clamp below is provably a multiple of 8 (asserting
     # alignment on a non-multiple silently miscompiles the load).
+    # Batch handling: fmaps are stacked [B*hp_l, wp_l*C] and queries are
+    # batch-major with n_item (a TILE_N multiple) slots per item, so a
+    # grid program serves exactly one batch item — its index is
+    # tile_base // n_item and its level-l rows start at that times hp_l
+    # (hp_l is a multiple of 8, so alignment survives the offset).
     levels = len(shapes)
-    fmaps = refs[:levels]                 # each [hp_l, wp_l * C]
+    fmaps = refs[:levels]                 # each [B * hp_l, wp_l * C]
     f0_ref, cx_ref, cy_ref, out_ref = refs[levels:]
 
     # Block-diagonal ones: contracts lanes [8C] -> 8 pixel columns.
@@ -69,7 +74,7 @@ def _kernel(*refs, radius: int, shapes, c: int):
     ox_q = q1 % WIN_PX
 
     tile_base = pl.program_id(0) * TILE_N
-    del tile_base  # masking handled by the wrapper's padding
+    b_idx = tile_base // n_item
 
     def one_group(g, _):
         n0 = pl.multiple_of(g * GROUP, GROUP)
@@ -91,7 +96,8 @@ def _kernel(*refs, radius: int, shapes, c: int):
                 xb = jnp.clip(x0 - radius, 0, max(wl - WIN_PX, 0))
                 rb = jnp.clip(y0 - radius, 0, max(hl - WIN_PX, 0))
                 rb8 = pl.multiple_of(
-                    jnp.minimum((rb // 8) * 8, hp - WIN_ROWS), 8)
+                    jnp.minimum((rb // 8) * 8, hp - WIN_ROWS)
+                    + b_idx * hp, 8)
                 lane0 = pl.multiple_of(xb * c, c)
                 block = fmaps[lvl][pl.ds(rb8, WIN_ROWS),
                                    pl.ds(lane0, WIN_PX * c)]
@@ -105,7 +111,8 @@ def _kernel(*refs, radius: int, shapes, c: int):
 
                 # Select the 8 window rows starting at rb - rb8 via a
                 # one-hot matmul (no dynamic sublane ops).
-                rsel = (sel_r == sel_i + (rb - rb8)).astype(jnp.float32)
+                rsel = (sel_r == sel_i
+                        + (rb - (rb8 - b_idx * hp))).astype(jnp.float32)
                 d8 = jax.lax.dot_general(
                     rsel, d, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # [8, 8]
@@ -148,65 +155,83 @@ def _kernel(*refs, radius: int, shapes, c: int):
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
-def lookup_correlation_pallas(fmap0, fmap1_pyramid, locations, radius: int,
-                              interpret: bool = False):
-    """Windowed correlation lookup for one batch item.
+def lookup_correlation_pallas_batched(fmap0, fmap1_pyramid, locations,
+                                      radius: int, interpret: bool = False):
+    """Windowed correlation lookup, batched in ONE kernel instance.
 
     Args:
-      fmap0: ``[H, W, C]`` query features (C padded to 128 internally).
-      fmap1_pyramid: list of ``[h_l, w_l, C]`` pooled target features.
-      locations: ``[H, W, 2]`` (x, y) lookup centers at level-0 scale.
+      fmap0: ``[B, H, W, C]`` query features (C padded to 128 internally).
+      fmap1_pyramid: list of ``[B, h_l, w_l, C]`` pooled target features.
+      locations: ``[B, H, W, 2]`` (x, y) lookup centers at level-0 scale.
 
     Returns:
-      ``[H, W, L*(2r+1)^2]`` correlations (scaled by 1/sqrt(C)),
+      ``[B, H, W, L*(2r+1)^2]`` correlations (scaled by 1/sqrt(C)),
       ordering identical to lookup_correlation / lookup_correlation_otf.
+
+    The batch folds into the query grid (batch-major, one grid program
+    per item) and into the stacked level rows — ``jax.vmap`` of the
+    unbatched call cannot lower (1D SMEM operands have no batched block
+    mapping), and a Python loop compiled B kernel copies (VERDICT r1
+    item 7).
     """
     if radius > 3:
         raise ValueError("kernel supports radius <= 3 (8-px windows)")
-    h, w, c_in = fmap0.shape
+    bsz, h, w, c_in = fmap0.shape
     levels = len(fmap1_pyramid)
     k = 2 * radius + 1
     c = ((max(c_in, 128) + 127) // 128) * 128
 
     n = h * w
-    n_pad = ((n + TILE_N - 1) // TILE_N) * TILE_N
+    n_item = ((n + TILE_N - 1) // TILE_N) * TILE_N
     scale = 1.0 / jnp.sqrt(jnp.asarray(c_in, jnp.float32))
-    f0 = fmap0.reshape(n, c_in) * scale
-    f0 = jnp.pad(f0, ((0, n_pad - n), (0, c - c_in)))
+    f0 = fmap0.reshape(bsz, n, c_in) * scale
+    f0 = jnp.pad(f0, ((0, 0), (0, n_item - n), (0, c - c_in)))
+    f0 = f0.reshape(bsz * n_item, c)
 
     fmaps = []
     shapes = []
     for fm in fmap1_pyramid:
-        hl, wl, _ = fm.shape
+        _, hl, wl, _ = fm.shape
         # Rows padded to round8(hl) + 8: every aligned 16-row window a
         # clamped query needs then fits, and hp - 16 is 8-aligned.
         hp = ((hl + 7) // 8) * 8 + 8
-        fm = jnp.pad(fm, ((0, hp - hl), (0, max(WIN_PX - wl, 0)),
+        fm = jnp.pad(fm, ((0, 0), (0, hp - hl), (0, max(WIN_PX - wl, 0)),
                           (0, c - c_in)))
-        wp = fm.shape[1]
-        fmaps.append(fm.reshape(hp, wp * c))
+        wp = fm.shape[2]
+        fmaps.append(fm.reshape(bsz * hp, wp * c))
         shapes.append((hl, wl, hp))
 
-    locs = locations.reshape(n, 2)
-    cx = jnp.pad(locs[:, 0], (0, n_pad - n))
-    cy = jnp.pad(locs[:, 1], (0, n_pad - n))
+    locs = jnp.pad(locations.reshape(bsz, n, 2),
+                   ((0, 0), (0, n_item - n), (0, 0)))
+    cx = locs[..., 0].reshape(bsz * n_item)
+    cy = locs[..., 1].reshape(bsz * n_item)
 
     kernel = functools.partial(_kernel, radius=radius,
-                               shapes=tuple(shapes), c=c)
+                               shapes=tuple(shapes), c=c, n_item=n_item)
     smem_vec = pl.BlockSpec((TILE_N,), lambda i: (i,),
                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(n_pad // TILE_N,),
+        grid=(bsz * n_item // TILE_N,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * levels
         + [pl.BlockSpec((TILE_N, c), lambda i: (i, 0),
                         memory_space=pltpu.VMEM),
            smem_vec, smem_vec],
         out_specs=pl.BlockSpec((TILE_N, levels * KPAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, levels * KPAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz * n_item, levels * KPAD),
+                                       jnp.float32),
         interpret=interpret,
     )(*fmaps, f0, cx, cy)
-    # Crop the padded 8x8 tap blocks to (2r+1)^2 in canonical order.
-    out = out[:n].reshape(n, levels, WIN_PX, WIN_PX)[:, :, :k, :k]
-    return out.reshape(h, w, levels * k * k)
+    out = out.reshape(bsz, n_item, levels, WIN_PX, WIN_PX)
+    out = out[:, :n, :, :k, :k]
+    return out.reshape(bsz, h, w, levels * k * k)
+
+
+def lookup_correlation_pallas(fmap0, fmap1_pyramid, locations, radius: int,
+                              interpret: bool = False):
+    """Single-item convenience wrapper over the batched kernel."""
+    out = lookup_correlation_pallas_batched(
+        fmap0[None], [fm[None] for fm in fmap1_pyramid], locations[None],
+        radius, interpret=interpret)
+    return out[0]

@@ -48,6 +48,34 @@ def _round8(x):
     return ((x + 7) // 8) * 8
 
 
+def _split2(x):
+    """Exact-leading hi/lo bfloat16 decomposition of a float32 array."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _xdot(a, b, dims, precise: bool):
+    """dot_general with either exact f32 (interpret / parity paths) or a
+    3-pass split-bf16 product (compiled TPU path): hi/lo decomposition of
+    both operands with the lo x lo term dropped — ~1e-3 gray-level
+    accuracy on 0..255 imagery at half HIGHEST's MXU issue count (see
+    pallas_klt.py's kernel notes and the split error-bound test)."""
+    dn = (dims, ((), ()))
+    if precise:
+        return jax.lax.dot_general(a, b, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    ah, al = _split2(a)
+    bh, bl = _split2(b)
+
+    def d(p, q):
+        return jax.lax.dot_general(p, q, dn,
+                                   preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _chol_solve(h, b):
     """Unrolled scalar Cholesky solve; h is a list-of-lists (lower half
     used), b a list. Returns list x with H x = b; NaN if H not SPD."""
@@ -82,7 +110,8 @@ class _Sampler:
     sampling over a flattened patch grid."""
 
     def __init__(self, opts: KltOptions, img_h, img_w, pad, hp, wp,
-                 rows=None, cols=None):
+                 rows=None, cols=None, precise: bool = True):
+        self.precise = precise
         self.pr = opts.patch_rows if rows is None else rows
         self.pc = opts.patch_cols if cols is None else cols
         self.epr, self.epc = opts.ex_patch_rows, opts.ex_patch_cols
@@ -130,12 +159,12 @@ class _Sampler:
         ly = pos_y - wr0.astype(jnp.float32)
         rw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - self.row_lane))
         cw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - self.col_lane))
-        # HIGHEST: the MXU's default bf16 rounding of the hat weights
-        # costs ~0.3 gray levels per sample — enough to break the
-        # |v|^2 < 4e-2 convergence threshold on real imagery.
-        t = jax.lax.dot_general(rw, window, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+        # Single-pass bf16 rounding of the hat weights would cost
+        # ~0.3 gray levels per sample — enough to break the
+        # |v|^2 < 4e-2 convergence threshold on real imagery — so the
+        # compiled path uses the 3-pass split product (exact f32 in
+        # interpret mode).
+        t = _xdot(rw, window, ((1,), (0,)), self.precise)
         val = jnp.sum(t * cw, axis=1, keepdims=True)
 
         fx = jnp.floor(pos_x)
@@ -192,10 +221,7 @@ def ref_setup_shared(smp, exs, extractors, ref_img_pad, rx, ry):
     s_c_m, s_dx_m, s_dy_m = extractors
 
     def extract(mat):
-        return jax.lax.dot_general(
-            mat, ex_flat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)            # [P_pad, 1]
+        return _xdot(mat, ex_flat, ((1,), (0,)), smp.precise)  # [P_pad, 1]
 
     v_c = smp.rect_valid(rx, ry, 0, 2)
     gvalid = smp.rect_valid(rx, ry, 1, 3)
@@ -269,10 +295,12 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                    ref_x, ref_y, cur_x, cur_y,
                    a00, a01, a10, a11,
                    out_x, out_y, o00, o01, o10, o11, out_status, *,
-                   opts: KltOptions, img_h, img_w, pad, hp, wp, n_features):
-    smp = _Sampler(opts, img_h, img_w, pad, hp, wp)
+                   opts: KltOptions, img_h, img_w, pad, hp, wp, n_features,
+                   precise: bool = True):
+    smp = _Sampler(opts, img_h, img_w, pad, hp, wp, precise=precise)
     exs = _Sampler(opts, img_h, img_w, pad, hp, wp,
-                   rows=opts.ex_patch_rows, cols=opts.ex_patch_cols)
+                   rows=opts.ex_patch_rows, cols=opts.ex_patch_cols,
+                   precise=precise)
     extractors = (exm_c[:], exm_dx[:], exm_dy[:])
     tile_base = pl.program_id(0) * TILE
 
@@ -355,10 +383,11 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                  ref_x, ref_y, r00, r01, r10, r11, tx, ty,
                  o00, o01, o10, o11, otx, oty, out_status, *,
                  opts: KltOptions, luminance: bool, img_h, img_w, pad, hp,
-                 wp, n_features):
-    smp = _Sampler(opts, img_h, img_w, pad, hp, wp)
+                 wp, n_features, precise: bool = True):
+    smp = _Sampler(opts, img_h, img_w, pad, hp, wp, precise=precise)
     exs = _Sampler(opts, img_h, img_w, pad, hp, wp,
-                   rows=opts.ex_patch_rows, cols=opts.ex_patch_cols)
+                   rows=opts.ex_patch_rows, cols=opts.ex_patch_cols,
+                   precise=precise)
     extractors = (exm_c[:], exm_dx[:], exm_dy[:])
     tile_base = pl.program_id(0) * TILE
     pr, pc = opts.patch_rows, opts.patch_cols
@@ -490,7 +519,8 @@ def affine_track_level_pallas(opts: KltOptions, ref_img, cur_img, ref_uv,
         affine[:, 0, 0], affine[:, 0, 1], affine[:, 1, 0], affine[:, 1, 1])
 
     exm = make_ref_extractors(opts)
-    kernel = functools.partial(_affine_kernel, opts=opts, img_h=h, img_w=w,
+    kernel = functools.partial(_affine_kernel, opts=opts, precise=interpret,
+                               img_h=h, img_w=w,
                                pad=pad, hp=hp, wp=wp, n_features=n)
     outs = pl.pallas_call(
         kernel,
@@ -524,7 +554,8 @@ def lssd_track_level_pallas(opts: KltOptions, luminance: bool, ref_img,
         t[:, 0], t[:, 1])
 
     exm = make_ref_extractors(opts)
-    kernel = functools.partial(_lssd_kernel, opts=opts, luminance=luminance,
+    kernel = functools.partial(_lssd_kernel, opts=opts, precise=interpret,
+                               luminance=luminance,
                                img_h=h, img_w=w, pad=pad, hp=hp, wp=wp,
                                n_features=n)
     outs = pl.pallas_call(

