@@ -44,6 +44,7 @@ R1_ANCHOR_MS = {
 WORKLOADS = ["affine_klt", "lssd_klt", "farneback", "direct",
              "brief_match", "lightglue", "raft", "basic_klt"]
 PER_WORKLOAD_TIMEOUT_S = 420
+SLOW_WORKLOAD_TIMEOUT_S = 1200  # raft: encoder+scan compile alone takes minutes
 
 
 def _load_pair():
@@ -352,7 +353,7 @@ def w_raft():
 
     step = jax.jit(run)
     floor_fn = jax.jit(lambda s: jnp.sum(cur + s))
-    dt = _time_scalar_step(step, floor_fn, iters=3)
+    dt = _time_scalar_step(step, floor_fn, iters=2, rounds=2)
     _emit("raft_ms_per_frame", dt * 1e3, "ms",
           R1_ANCHOR_MS["raft"] / (dt * 1e3),
           {"resolution": f"{w}x{h}", "iterations": cfg.max_iterations,
@@ -378,7 +379,8 @@ def main():
                 [sys.executable, os.path.abspath(__file__),
                  "--workload", name],
                 capture_output=True, text=True,
-                timeout=PER_WORKLOAD_TIMEOUT_S,
+                timeout=(SLOW_WORKLOAD_TIMEOUT_S if name == "raft"
+                         else PER_WORKLOAD_TIMEOUT_S),
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             lines = [l for l in out.stdout.splitlines()
                      if l.startswith("{")]

@@ -26,11 +26,14 @@ MAX_FEATURES = 300
 
 def main():
     ref, cur, source = _common.load_optical_flow_pair()
+    detector = DiskDetector.from_file(max_features=MAX_FEATURES)
+    kind = "pretrained weights"
+    if detector is None:
+        detector = DiskDetector.init_random(jax.random.PRNGKey(0),
+                                            max_features=MAX_FEATURES)
+        kind = "untrained weights (run train/pretrain.py)"
     report_info(f">> Test feature point matcher with DISK "
-                f"({source} imagery, untrained weights).")
-
-    detector = DiskDetector.init_random(jax.random.PRNGKey(0),
-                                        max_features=MAX_FEATURES)
+                f"({source} imagery, {kind}).")
 
     timer = TickTock()
     ref_uv, ref_desc, n_ref = detector.detect(jnp.asarray(ref))

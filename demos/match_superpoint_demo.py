@@ -27,11 +27,15 @@ MAX_FEATURES = 300
 
 def main():
     ref, cur, source = _common.load_optical_flow_pair()
+    detector = SuperPointDetector.from_file(max_features=MAX_FEATURES,
+                                            min_response=0.01)
+    kind = "pretrained weights"
+    if detector is None:
+        detector = SuperPointDetector.init_random(
+            jax.random.PRNGKey(0), max_features=MAX_FEATURES)
+        kind = "untrained weights (run train/pretrain.py)"
     report_info(f">> Test feature point matcher with SuperPoint "
-                f"({source} imagery, untrained weights).")
-
-    detector = SuperPointDetector.init_random(jax.random.PRNGKey(0),
-                                              max_features=MAX_FEATURES)
+                f"({source} imagery, {kind}).")
 
     timer = TickTock()
     ref_uv, ref_desc, n_ref = detector.detect(jnp.asarray(ref))

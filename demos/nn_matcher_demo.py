@@ -29,16 +29,26 @@ MAX_FEATURES = 250  # reference: test_nn_feature_matcher.cpp:22
 
 def main():
     ref, cur, source = _common.load_optical_flow_pair()
-    report_info(f">> Test NN feature matcher with LightGlue "
-                f"({source} imagery, untrained weights).")
-
-    detector = SuperPointDetector.init_random(jax.random.PRNGKey(0),
-                                              max_features=MAX_FEATURES)
-    matcher = NNFeatureMatcher(NNMatcherOptions(
+    detector = SuperPointDetector.from_file(max_features=MAX_FEATURES,
+                                            min_response=0.01)
+    opts = NNMatcherOptions(
         max_number_of_matches=MAX_FEATURES,
         min_valid_match_score=math.log(0.03),
         model_type=NNMatcherModelType.LIGHTGLUE_SUPERPOINT_SCORE_MAT,
-        depth=4))
+        depth=9)
+    matcher = NNFeatureMatcher.from_file(opts) if detector else None
+    kind = "pretrained weights"
+    if detector is None or matcher is None:
+        detector = detector or SuperPointDetector.init_random(
+            jax.random.PRNGKey(0), max_features=MAX_FEATURES)
+        matcher = NNFeatureMatcher(NNMatcherOptions(
+            max_number_of_matches=MAX_FEATURES,
+            min_valid_match_score=math.log(0.03),
+            model_type=NNMatcherModelType.LIGHTGLUE_SUPERPOINT_SCORE_MAT,
+            depth=4))
+        kind = "untrained weights (run train/pretrain.py)"
+    report_info(f">> Test NN feature matcher with LightGlue "
+                f"({source} imagery, {kind}).")
 
     timer = TickTock()
     matcher.initialize()

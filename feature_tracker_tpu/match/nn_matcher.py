@@ -92,6 +92,34 @@ class NNFeatureMatcher:
     def variables(self):
         return self._variables
 
+    @classmethod
+    def from_file(cls, options: NNMatcherOptions = NNMatcherOptions(),
+                  path=None):
+        """Matcher with pretrained LightGlue weights
+        (weights/lightglue_superpoint.npz, produced by train/pretrain.py);
+        None when absent or when the options imply a different
+        architecture than the trained one (descriptor dim / depth)."""
+        import os
+
+        from feature_tracker_tpu.utils.weights import (
+            load_pytree,
+            weights_path,
+        )
+        path = path or weights_path("lightglue_superpoint.npz")
+        if not os.path.exists(path):
+            return None
+        if _DESC_DIM[options.model_type] != 256 or options.depth != 9:
+            return None
+        m = cls(options)
+        n = options.max_number_of_matches
+        kpts = jnp.zeros((n, 2), jnp.float32)
+        desc = jnp.zeros((n, 256), jnp.float32)
+        mask = jnp.ones((n,), bool)
+        like = m.model.init(m._rng, kpts, desc, mask, kpts, desc, mask)
+        m._variables = load_pytree(path, like)
+        m._initialized = True
+        return m
+
     def initialize(self) -> bool:
         """Create (or keep) parameters and run the reference-style warm-up
         inference on kMaxNumberOfMatches zero descriptors

@@ -133,6 +133,23 @@ class DiskDetector:
         variables = model.init(rng, jnp.zeros(image_shape, jnp.float32))
         return cls(variables, cfg, **kw)
 
+    @classmethod
+    def from_file(cls, path: str | None = None,
+                  cfg: DiskConfig = DiskConfig(), **kw):
+        """Load pretrained weights (weights/disk.npz, produced by
+        train/pretrain.py); None when absent."""
+        from feature_tracker_tpu.utils.weights import (
+            load_pytree,
+            weights_path,
+        )
+        import os
+        path = path or weights_path("disk.npz")
+        if not os.path.exists(path):
+            return None
+        det = cls.init_random(jax.random.PRNGKey(0), cfg=cfg, **kw)
+        det.variables = load_pytree(path, det.variables)
+        return det
+
     def detect(self, image):
         """image: [H, W] 0..255. Returns (uv [K,2], descriptors [K,D], num)."""
         return _detect_jit(self.model, self.variables, image,

@@ -153,6 +153,23 @@ class SuperPointDetector:
         variables = model.init(rng, jnp.zeros(image_shape, jnp.float32))
         return cls(variables, **kw)
 
+    @classmethod
+    def from_file(cls, path: str | None = None, **kw):
+        """Load pretrained weights (weights/superpoint.npz, produced by
+        train/pretrain.py). Returns None when the file is absent so
+        callers can fall back to init_random."""
+        from feature_tracker_tpu.utils.weights import (
+            load_pytree,
+            weights_path,
+        )
+        import os
+        path = path or weights_path("superpoint.npz")
+        if not os.path.exists(path):
+            return None
+        det = cls.init_random(jax.random.PRNGKey(0), **kw)
+        det.variables = load_pytree(path, det.variables)
+        return det
+
     def detect(self, image):
         """image: [H, W] 0..255. Returns (uv [K,2], descriptors [K,D], num)."""
         return _detect_jit(self.model, self.variables, image,

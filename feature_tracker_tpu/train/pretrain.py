@@ -38,25 +38,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "weights")
-
-
-# ----------------------------------------------------------- persistence
-
-def save_pytree(path: str, tree) -> None:
-    flat, treedef = jax.tree_util.tree_flatten(tree)
-    np.savez_compressed(path, treedef=np.frombuffer(
-        repr(treedef).encode(), dtype=np.uint8),
-        **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)})
-
-
-def load_pytree(path: str, like):
-    """Load a flattened pytree using ``like``'s structure."""
-    data = np.load(path)
-    flat_like, treedef = jax.tree_util.tree_flatten(like)
-    flat = [jnp.asarray(data[f"a{i}"]) for i in range(len(flat_like))]
-    return jax.tree_util.tree_unflatten(treedef, flat)
+from feature_tracker_tpu.utils.weights import (  # noqa: F401
+    WEIGHTS_DIR,
+    load_pytree,
+    save_pytree,
+)
 
 
 # ------------------------------------------------------- synthetic data
@@ -81,10 +67,62 @@ class _Texture:
         return (v / np.sum(self.amp) * 0.5 + 0.5) * 255.0
 
 
-def warped_texture_pair(rng, h, w, max_theta=0.25, max_shift=12.0):
+_REAL_POOL = None
+
+
+def _real_image_pool():
+    """Real-world training imagery: the KITTI-style direct-method frames
+    from the read-only reference mount (disjoint from the optical-flow
+    pair the demos/tests evaluate on). Loaded lazily; [] when absent."""
+    global _REAL_POOL
+    if _REAL_POOL is None:
+        _REAL_POOL = []
+        base = "/root/reference/example/direct_method"
+        try:
+            from PIL import Image
+            for name in ("left.png", "000001.png", "000002.png",
+                         "000003.png", "000004.png", "000005.png"):
+                p = os.path.join(base, name)
+                if os.path.exists(p):
+                    _REAL_POOL.append(np.asarray(
+                        Image.open(p).convert("L"), np.float32))
+        except Exception:
+            pass
+    return _REAL_POOL
+
+
+def _bilinear_np(img, x, y):
+    h, w = img.shape
+    x = np.clip(x, 0, w - 1.001)
+    y = np.clip(y, 0, h - 1.001)
+    x0 = x.astype(np.int64)
+    y0 = y.astype(np.int64)
+    fx = x - x0
+    fy = y - y0
+    return ((1 - fy) * (1 - fx) * img[y0, x0]
+            + (1 - fy) * fx * img[y0, x0 + 1]
+            + fy * (1 - fx) * img[y0 + 1, x0]
+            + fy * fx * img[y0 + 1, x0 + 1]).astype(np.float32)
+
+
+def _photometric(rng, img):
+    """Gain/bias/noise augmentation, clipped to the 0..255 range."""
+    gain = rng.uniform(0.7, 1.3)
+    bias = rng.uniform(-25, 25)
+    noise = rng.normal(0, rng.uniform(0.5, 3.0), img.shape)
+    return np.clip(gain * img + bias + noise, 0, 255).astype(np.float32)
+
+
+def warped_texture_pair(rng, h, w, max_theta=0.25, max_shift=12.0,
+                        use_real: bool | None = None, augment=True):
     """(img_a, img_b, warp) with img_b(q) = img_a(warp^-1(q)); a point at
-    p in a appears at warp(p) = R_s p + t in b."""
-    tex = _Texture(rng)
+    p in a appears at warp(p) = R_s p + t in b. Half the samples come
+    from random crops of real imagery (_real_image_pool) so descriptors
+    see natural statistics, half from analytic textures; img_b gets
+    photometric augmentation."""
+    pool = _real_image_pool()
+    if use_real is None:
+        use_real = len(pool) > 0 and rng.uniform() < 0.5
     theta = rng.uniform(-max_theta, max_theta)
     scale = rng.uniform(0.9, 1.12)
     c, s = np.cos(theta) * scale, np.sin(theta) * scale
@@ -92,11 +130,23 @@ def warped_texture_pair(rng, h, w, max_theta=0.25, max_shift=12.0):
     center = np.array([w / 2.0, h / 2.0])
     t = center + rng.uniform(-max_shift, max_shift, 2) - rot @ center
     rinv = np.linalg.inv(rot)
-
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    img_a = tex.eval(xx, yy).astype(np.float32)
     src = np.stack([xx - t[0], yy - t[1]], -1) @ rinv.T
-    img_b = tex.eval(src[..., 0], src[..., 1]).astype(np.float32)
+
+    if use_real and pool:
+        img = pool[rng.integers(len(pool))]
+        ih, iw = img.shape
+        margin = 40
+        ox = rng.uniform(margin, iw - w - margin)
+        oy = rng.uniform(margin, ih - h - margin)
+        img_a = _bilinear_np(img, xx + ox, yy + oy)
+        img_b = _bilinear_np(img, src[..., 0] + ox, src[..., 1] + oy)
+    else:
+        tex = _Texture(rng)
+        img_a = tex.eval(xx, yy).astype(np.float32)
+        img_b = tex.eval(src[..., 0], src[..., 1]).astype(np.float32)
+    if augment:
+        img_b = _photometric(rng, img_b)
 
     def warp(p):
         return p @ rot.T + t

@@ -1,0 +1,42 @@
+"""Flat-pytree weight persistence (.npz) for the neural models.
+
+The reference ships pretrained ONNX blobs; this framework's equivalents
+are produced by ``python -m feature_tracker_tpu.train.pretrain`` and
+stored under ``weights/`` at the repo root. ``load_pytree`` restores into
+an existing pytree's structure (leaf order is the flatten order, which is
+deterministic for a given model definition).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "weights")
+
+
+def save_pytree(path: str, tree) -> None:
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez_compressed(path, treedef=np.frombuffer(
+        repr(treedef).encode(), dtype=np.uint8),
+        **{f"a{i}": np.asarray(x) for i, x in enumerate(flat)})
+
+
+def load_pytree(path: str, like):
+    """Load a flattened pytree using ``like``'s structure."""
+    data = np.load(path)
+    flat_like, treedef = jax.tree_util.tree_flatten(like)
+    flat = [jnp.asarray(data[f"a{i}"]) for i in range(len(flat_like))]
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+def weights_path(name: str) -> str:
+    return os.path.join(WEIGHTS_DIR, name)
+
+
+def has_weights(name: str) -> bool:
+    return os.path.exists(weights_path(name))

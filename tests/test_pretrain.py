@@ -1,0 +1,64 @@
+"""Pretraining-driver plumbing tests (data generation, ground-truth
+assignment, weight persistence). Model-training convergence at CI scale
+is covered by test_{superpoint,disk,lightglue}_train; full convergence
+runs via `python -m feature_tracker_tpu.train.pretrain` (weights/).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from feature_tracker_tpu.train.pretrain import (
+    _gt_assignment,
+    make_lightglue_sample,
+    warped_texture_pair,
+)
+from feature_tracker_tpu.utils.weights import load_pytree, save_pytree
+
+
+def test_warped_pair_correspondence_exact():
+    rng = np.random.default_rng(0)
+    a, b, warp = warped_texture_pair(rng, 96, 96, use_real=False,
+                                     augment=False)
+    assert a.shape == b.shape == (96, 96)
+    # b(warp(p)) == a(p) for interior points (both rendered analytically).
+    pts = np.array([[30.0, 40.0], [50.0, 20.0], [60.0, 70.0]])
+    proj = warp(pts)
+    for (x, y), (u, v) in zip(pts.astype(int), np.round(proj).astype(int)):
+        if 2 <= u < 94 and 2 <= v < 94:
+            # Compare against a small neighbourhood (sub-pixel warp).
+            neigh = b[v - 1:v + 2, u - 1:u + 2]
+            assert np.abs(neigh - a[y, x]).min() < 25.0
+
+
+def test_warped_pair_real_pool_when_available():
+    from feature_tracker_tpu.train.pretrain import _real_image_pool
+    rng = np.random.default_rng(1)
+    if not _real_image_pool():
+        return  # reference mount absent: texture fallback covered above
+    a, b, warp = warped_texture_pair(rng, 64, 64, use_real=True)
+    assert a.shape == (64, 64) and np.isfinite(a).all()
+    assert 0.0 <= a.min() and a.max() <= 255.0
+
+
+def test_gt_assignment_unique_and_tolerant():
+    uv_ref = np.array([[10.0, 10.0], [20.0, 20.0], [30.0, 30.0]])
+    warp = lambda p: p + np.array([1.0, 0.0])  # noqa: E731
+    uv_cur = np.array([[11.0, 10.0], [21.2, 20.0], [90.0, 90.0]])
+    gt = _gt_assignment(uv_ref, uv_cur, warp, tol=2.0)
+    assert gt[0] == 0 and gt[1] == 1 and gt[2] == -1
+    # Uniqueness: two ref points near one cur point -> only one claims it.
+    uv_ref2 = np.array([[10.0, 10.0], [10.3, 10.0]])
+    gt2 = _gt_assignment(uv_ref2, np.array([[11.0, 10.0]]), warp, tol=2.0)
+    assert (gt2 >= 0).sum() == 1
+
+
+def test_pytree_save_load_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6.0).reshape(2, 3),
+            "b": {"c": jnp.ones((4,), jnp.int32)}}
+    path = str(tmp_path / "w.npz")
+    save_pytree(path, tree)
+    back = load_pytree(path, jax.tree_util.tree_map(jnp.zeros_like, tree))
+    assert np.allclose(back["a"], np.asarray(tree["a"]))
+    assert np.array_equal(back["b"]["c"], np.asarray(tree["b"]["c"]))
