@@ -41,7 +41,10 @@ from feature_tracker_tpu.core.status import TrackStatus
 
 TILE = 1024
 WIN_R = 48        # aligned window rows (32 target + 8 offset, rounded)
-WIN_C = 256       # aligned window lanes (32 target + 127 offset, rounded)
+WIN_C = 128       # window lanes: 32-px target + 64-granular anchor offset
+                  # (the padded images carry a 64-column-shifted second
+                  # plane, halving the flat-P sampling matmul vs a
+                  # 256-lane window with 128-granular anchors)
 
 
 def _round8(x):
@@ -137,19 +140,28 @@ class _Sampler:
         32x32 neighborhood of the (float) center. No in-register rolls —
         the hat weights absorb the sub-tile offset (Mosaic's dynamic
         sublane rotate miscompiles for some shift/shape combinations).
+
+        ``img`` is the STACKED padded image [2*hp, wp]: plane 1 holds the
+        64-column-shifted copy, so the effective column-anchor
+        granularity is 64 and 128 lanes always cover [center-16,
+        center+48] — the same left margin as the previous 256-lane
+        window, so the out-of-window masking behavior (the documented
+        deviation for extreme warps) is unchanged for |warp| <= 16 px.
         Returns (window, wr0, wc0) with the origin in unpadded coords."""
         r_des = jnp.clip(
             jnp.floor(center_y).astype(jnp.int32) - 16 + self.pad,
             0, self.hp - 32)
         c_des = jnp.clip(
             jnp.floor(center_x).astype(jnp.int32) - 16 + self.pad,
-            0, self.wp - 32)
+            0, self.wp - 64)
         r8 = pl.multiple_of(
             jnp.minimum((r_des // 8) * 8, self.hp - WIN_R), 8)
+        plane = (c_des // 64) & 1
         c128 = pl.multiple_of(
             jnp.minimum((c_des // 128) * 128, self.wp - WIN_C), 128)
-        win = img[pl.ds(r8, WIN_R), pl.ds(c128, WIN_C)]
-        return win, r8 - self.pad, c128 - self.pad
+        row0 = pl.multiple_of(plane * self.hp + r8, 8)
+        win = img[pl.ds(row0, WIN_R), pl.ds(c128, WIN_C)]
+        return win, r8 - self.pad, c128 + 64 * plane - self.pad
 
     def sample(self, window, wr0, wc0, pos_x, pos_y):
         """Hat-weight bilinear sample of [P_pad, 1] positions from the
@@ -493,13 +505,20 @@ def _prep(opts, ref_img, *vecs):
 
 
 def _pad_images(opts, ref_img, cur_img):
+    """Padded STACKED images [2*hp, wp]: plane 0 as-is, plane 1 shifted
+    left 64 columns — the load path's 64-granular column anchoring (see
+    _Sampler.load_window)."""
     pad = max(opts.ex_patch_rows, opts.ex_patch_cols) + 3
     h, w = ref_img.shape
     hp = _round8(max(h + 2 * pad, WIN_R))
-    wp = ((max(w + 2 * pad, WIN_C) + 127) // 128) * 128
-    ref_pad = jnp.pad(ref_img, ((pad, hp - h - pad), (pad, wp - w - pad)))
-    cur_pad = jnp.pad(cur_img, ((pad, hp - h - pad), (pad, wp - w - pad)))
-    return ref_pad, cur_pad, pad, h, w, hp, wp
+    wp = ((max(w + 2 * pad, 2 * WIN_C) + 127) // 128) * 128
+
+    def stack(img):
+        padded = jnp.pad(img, ((pad, hp - h - pad), (pad, wp + 64 - w - pad)))
+        return jnp.concatenate([padded[:, :wp], padded[:, 64:wp + 64]],
+                               axis=0)
+
+    return stack(ref_img), stack(cur_img), pad, h, w, hp, wp
 
 
 def _smem_vec():
