@@ -62,3 +62,29 @@ def test_pytree_save_load_roundtrip(tmp_path):
     back = load_pytree(path, jax.tree_util.tree_map(jnp.zeros_like, tree))
     assert np.allclose(back["a"], np.asarray(tree["a"]))
     assert np.array_equal(back["b"]["c"], np.asarray(tree["b"]["c"]))
+
+
+def test_from_file_loaders():
+    """Shipped weights load into the front ends; absent paths return
+    None (random-init fallback) instead of raising."""
+    from feature_tracker_tpu.match.nn_matcher import (
+        NNFeatureMatcher,
+        NNMatcherOptions,
+    )
+    from feature_tracker_tpu.models.disk import DiskDetector
+    from feature_tracker_tpu.models.superpoint import SuperPointDetector
+    from feature_tracker_tpu.utils.weights import has_weights
+
+    assert SuperPointDetector.from_file(path="/nonexistent.npz") is None
+    assert DiskDetector.from_file(path="/nonexistent.npz") is None
+    assert NNFeatureMatcher.from_file(path="/nonexistent.npz") is None
+
+    if has_weights("superpoint.npz"):
+        det = SuperPointDetector.from_file(max_features=64)
+        assert det is not None
+        leaves = jax.tree_util.tree_leaves(det.variables)
+        assert sum(x.size for x in leaves) > 100_000
+    if has_weights("lightglue_superpoint.npz"):
+        m = NNFeatureMatcher.from_file(
+            NNMatcherOptions(max_number_of_matches=64, depth=9))
+        assert m is not None and m.variables is not None
