@@ -41,10 +41,19 @@ R1_ANCHOR_MS = {
     "lightglue": 5.0,
     "raft": 117.0,
 }
-WORKLOADS = ["affine_klt", "lssd_klt", "farneback", "direct",
-             "brief_match", "lightglue", "raft", "basic_klt"]
-PER_WORKLOAD_TIMEOUT_S = 420
-SLOW_WORKLOAD_TIMEOUT_S = 1200  # raft: encoder+scan compile alone takes minutes
+# The HEADLINE runs FIRST (round 2 lost it to a global driver timeout);
+# its line is printed as soon as it exists and again at the end (the
+# driver parses the last line). Cheap workloads next, compile-heavy ones
+# last so a budget overrun drops the least important rows.
+WORKLOADS = ["basic_klt", "brief_match", "direct", "farneback",
+             "affine_klt", "lssd_klt", "lightglue", "raft"]
+PER_WORKLOAD_TIMEOUT_S = 600
+SLOW_WORKLOAD_TIMEOUT_S = 900  # raft: encoder+scan compile alone takes minutes
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+# Persistent XLA compilation cache: repeated driver runs (and the test
+# suite) skip the multi-minute tunnel compiles.
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
 
 
 def _load_pair():
@@ -290,7 +299,19 @@ def w_brief_match():
         muv, st = fill_matched_pixels(idx, cur_uv)
         return jnp.sum(muv) + jnp.sum(st.astype(jnp.float32))
 
-    matched = None
+    # Real match-count parity signal (reference prints 171/300 for this
+    # config): one eager pass outside the timed loop.
+    ref_uv, _ = detect_good_features(ref_j, n_cap, opts)
+    cur_uv, _ = detect_good_features(cur_j, n_cap, opts)
+    ref_bits, ref_valid = compute_brief(ref_j, ref_uv)
+    cur_bits, cur_valid = compute_brief(cur_j, cur_uv)
+    dist = hamming_distance_matrix(ref_bits, cur_bits)
+    dist = jnp.where(ref_valid[:, None] & cur_valid[None, :],
+                     dist, jnp.inf)
+    idx = nearby_match(dist, ref_uv, cur_uv, max_valid_distance=60.0,
+                       max_col_distance=50.0, max_row_distance=50.0)
+    _, st0 = fill_matched_pixels(idx, cur_uv)
+    matched = int((np.asarray(st0) == 1).sum())
     step = jax.jit(run)
     floor_fn = jax.jit(lambda s: jnp.sum(cur_j + s))
     dt = _time_scalar_step(step, floor_fn)
@@ -368,19 +389,35 @@ def main():
     args = parser.parse_args()
 
     if args.workload:
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
         globals()[f"w_{args.workload}"]()
         return
 
     names = ["basic_klt"] if args.headline_only else WORKLOADS
     headline = None
+    t_start = time.perf_counter()
     for name in names:
+        elapsed = time.perf_counter() - t_start
+        remaining = TOTAL_BUDGET_S - elapsed
+        if remaining < 60 and headline is not None:
+            sys.stderr.write(f"[bench] budget exhausted "
+                             f"({elapsed:.0f}s); skipping {name}\n")
+            continue
+        per = SLOW_WORKLOAD_TIMEOUT_S if name == "raft" \
+            else PER_WORKLOAD_TIMEOUT_S
+        if headline is not None:
+            per = min(per, max(remaining, 60.0))
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--workload", name],
-                capture_output=True, text=True,
-                timeout=(SLOW_WORKLOAD_TIMEOUT_S if name == "raft"
-                         else PER_WORKLOAD_TIMEOUT_S),
+                capture_output=True, text=True, timeout=per,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             lines = [l for l in out.stdout.splitlines()
                      if l.startswith("{")]
@@ -390,11 +427,13 @@ def main():
                 continue
             if name == "basic_klt":
                 headline = lines[-1]
-            else:
-                print(lines[-1], flush=True)
+            # Every metric (headline included) prints as soon as it
+            # exists so a driver-level kill never loses completed rows.
+            print(lines[-1], flush=True)
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"[bench] {name} timed out\n")
     if headline is not None:
+        # Re-print the headline LAST: the driver records the final line.
         print(headline, flush=True)
     else:
         sys.stderr.write("[bench] headline workload failed; running "

@@ -270,17 +270,22 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         # [pr, 64] block (16-lane stride keeps every read-back slice
         # tile-aligned), plus the reference-validity rectangle bounds in
         # patch coordinates (scalars) for the closed-form valid count.
-        pc = smp.pc
-        zcol = jnp.zeros((smp.pr, 16 - pc), jnp.float32)
-        d_aug = jnp.concatenate(
-            [dx, zcol, dy, zcol, dx * inner, zcol, dy * inner, zcol],
-            axis=1)                                           # [pr, 64]
-        rmin_r = jnp.floor(ry).astype(jnp.int32) - smp.pr // 2
-        rmin_c = jnp.floor(rx).astype(jnp.int32) - smp.pc // 2
-        ref_rect = (jnp.maximum(0, -rmin_r),
-                    jnp.minimum(smp.pr - 1, smp.img_h - 2 - rmin_r),
-                    jnp.maximum(0, -rmin_c),
-                    jnp.minimum(smp.pc - 1, smp.img_w - 2 - rmin_c))
+        # Only built on the identity path, whose 16-lane block layout
+        # requires patch_cols <= 16 (checked at trace time).
+        if use_identity:
+            pc = smp.pc
+            zcol = jnp.zeros((smp.pr, 16 - pc), jnp.float32)
+            d_aug = jnp.concatenate(
+                [dx, zcol, dy, zcol, dx * inner, zcol, dy * inner, zcol],
+                axis=1)                                       # [pr, 64]
+            rmin_r = jnp.floor(ry).astype(jnp.int32) - smp.pr // 2
+            rmin_c = jnp.floor(rx).astype(jnp.int32) - smp.pc // 2
+            ref_rect = (jnp.maximum(0, -rmin_r),
+                        jnp.minimum(smp.pr - 1, smp.img_h - 2 - rmin_r),
+                        jnp.maximum(0, -rmin_c),
+                        jnp.minimum(smp.pc - 1, smp.img_w - 2 - rmin_c))
+        else:
+            d_aug, ref_rect = None, None
         return (inner, inner_valid, dx, dy, (h00, h01, h11, det),
                 n_ref == 0, d_aug, ref_rect)
 
@@ -479,9 +484,16 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
 
     ``use_identity`` enables the interior-feature trace-identity bias
     (default: on for the compiled path, off in interpret mode so the
-    parity tests compare the reference-ordered arithmetic)."""
+    parity tests compare the reference-ordered arithmetic). The identity
+    path's 16-lane block layout requires patch_cols <= 16; wider patches
+    fall back to the masked-patch bias."""
     if use_identity is None:
-        use_identity = not interpret
+        use_identity = (not interpret) and opts.patch_cols <= 16
+    if use_identity and opts.patch_cols > 16:
+        raise ValueError(
+            f"use_identity requires patch_cols <= 16 (16-lane block "
+            f"layout); got patch_cols={opts.patch_cols}. Pass "
+            f"use_identity=False.")
     levels = len(ref_pyramid)
     n = ref_uv.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE

@@ -181,6 +181,22 @@ def lookup_correlation_pallas_batched(fmap0, fmap1_pyramid, locations,
     k = 2 * radius + 1
     c = ((max(c_in, 128) + 127) // 128) * 128
 
+    # All B stacked target pyramids stay VMEM-resident; chunk the batch
+    # when the stacked footprint would blow the ~16MB VMEM budget (each
+    # chunk re-enters this function below the bound and reuses one
+    # compiled kernel for equal chunk sizes).
+    per_item = sum((((fm.shape[1] + 7) // 8 * 8 + 8)
+                    * max(WIN_PX, fm.shape[2]) * c * 4)
+                   for fm in fmap1_pyramid)
+    max_b = max(1, int(12e6 // max(per_item, 1)))
+    if bsz > max_b:
+        outs = [lookup_correlation_pallas_batched(
+                    fmap0[i:i + max_b],
+                    [fm[i:i + max_b] for fm in fmap1_pyramid],
+                    locations[i:i + max_b], radius, interpret=interpret)
+                for i in range(0, bsz, max_b)]
+        return jnp.concatenate(outs, axis=0)
+
     n = h * w
     n_item = ((n + TILE_N - 1) // TILE_N) * TILE_N
     scale = 1.0 / jnp.sqrt(jnp.asarray(c_in, jnp.float32))

@@ -27,10 +27,32 @@ def save_pytree(path: str, tree) -> None:
 
 
 def load_pytree(path: str, like):
-    """Load a flattened pytree using ``like``'s structure."""
+    """Load a flattened pytree using ``like``'s structure.
+
+    Every loaded leaf is validated against the corresponding leaf of
+    ``like`` (shape and dtype) so an architecture-mismatched or stale
+    weights file fails loudly here, with the leaf path, instead of
+    misbehaving later at apply time."""
     data = np.load(path)
     flat_like, treedef = jax.tree_util.tree_flatten(like)
-    flat = [jnp.asarray(data[f"a{i}"]) for i in range(len(flat_like))]
+    paths = [jax.tree_util.keystr(kp) for kp, _ in
+             jax.tree_util.tree_flatten_with_path(like)[0]]
+    flat = []
+    for i, ref_leaf in enumerate(flat_like):
+        key = f"a{i}"
+        if key not in data:
+            raise ValueError(
+                f"{path}: missing leaf {paths[i]} (expected "
+                f"{len(flat_like)} leaves, file has fewer)")
+        arr = data[key]
+        ref_shape = tuple(np.shape(ref_leaf))
+        ref_dtype = np.asarray(ref_leaf).dtype
+        if tuple(arr.shape) != ref_shape or arr.dtype != ref_dtype:
+            raise ValueError(
+                f"{path}: leaf {paths[i]} has shape {tuple(arr.shape)} "
+                f"dtype {arr.dtype}, model expects {ref_shape} "
+                f"{ref_dtype}")
+        flat.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, flat)
 
 
