@@ -84,7 +84,10 @@ from feature_tracker_tpu.ops.pallas_warp_klt import (
     _xdot,
 )
 
-WIN_C = 256  # window lanes: patch cols 16 + 128-aligned anchor offset
+WIN_C = 128  # window lanes: patch cols 16 + 64-granular anchor offset
+             # (the padded images carry a 64-column-shifted second plane,
+             # halving every sampling matmul's contraction width vs the
+             # round-2 256-lane windows with 128-granular anchors)
 
 
 class _RigidSampler:
@@ -113,17 +116,24 @@ class _RigidSampler:
 
     def load_window(self, img, center_x, center_y):
         """Aligned [win_r, WIN_C] window anchored at the patch start.
-        _geometry guarantees the clamp never cuts off a VALID tap."""
+
+        ``img`` is the STACKED padded image [2*hp, wp]: plane 1 holds
+        the 64-column-shifted copy, so the effective column anchor has
+        64-px granularity and 128 lanes always cover the 17 bilinear
+        taps. _geometry guarantees the clamps never cut off a VALID
+        tap."""
         r_des = jnp.clip(
             jnp.floor(center_y).astype(jnp.int32) - self.pr // 2 + self.pad,
             0, self.hp - self.win_r)
         c_des = jnp.clip(
             jnp.floor(center_x).astype(jnp.int32) - self.pc // 2 + self.pad,
-            0, self.wp - WIN_C)
+            0, self.wp - 65)
         r8 = pl.multiple_of((r_des // 8) * 8, 8)
+        plane = (c_des // 64) & 1
         c128 = pl.multiple_of((c_des // 128) * 128, 128)
-        win = img[pl.ds(r8, self.win_r), pl.ds(c128, WIN_C)]
-        return win, r8 - self.pad, c128 - self.pad
+        row0 = pl.multiple_of(plane * self.hp + r8, 8)
+        win = img[pl.ds(row0, self.win_r), pl.ds(c128, WIN_C)]
+        return win, r8 - self.pad, c128 + 64 * plane - self.pad
 
     def sample(self, window, wr0, wc0, x, y):
         """Const-weight [pr, pc] patch at (x, y). Columns contract first
@@ -454,22 +464,27 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
 
 
 def _geometry(opts: KltOptions, img):
-    """Padded-image geometry for one level.
+    """Padded-image geometry for one level: a STACKED 2-plane image
+    [2*hp, wp] whose second plane is the 64-column-shifted copy.
 
-    The clamp in load_window must never exclude a VALID tap. For any
+    The clamps in load_window must never exclude a VALID tap. For any
     float center, valid rows exist only while floor(y) <= h-2+pr//2; the
     natural aligned anchor there is floor8(h-2+pad), so
     hp >= h + pad + SWIN_R - 2 keeps the upper clamp inactive whenever
-    valid rows exist (SWIN_R = the larger, setup window). Columns the
-    same with 128-alignment: wp >= w + pad + WIN_C - 127 - 2. The lower
-    clamp needs pad >= ex_patch + 1."""
+    valid rows exist (SWIN_R = the larger, setup window). Columns: the
+    effective anchor has 64-px granularity (plane select), the clamp
+    sits at wp-65, and wp >= w + pad + 64 keeps it inactive while valid
+    columns exist; 128 lanes then cover anchor offset (<= 63) plus the
+    17 bilinear taps. The lower clamp needs pad >= ex_patch + 1."""
     pad = max(opts.ex_patch_rows, opts.ex_patch_cols) + 3
     swin_r = _round8(opts.ex_patch_rows + 1 + 7)
     h, w = img.shape
     hp = _round8(max(h + pad + swin_r - 2, swin_r))
-    wp = ((max(w + pad + WIN_C - 129, WIN_C) + 127) // 128) * 128
-    padded = jnp.pad(img, ((pad, hp - h - pad), (pad, wp - w - pad)))
-    return padded, (h, w, hp, wp), pad
+    wp = ((max(w + 2 * pad + 64, 2 * WIN_C) + 127) // 128) * 128
+    padded = jnp.pad(img, ((pad, hp - h - pad), (pad, wp + 64 - w - pad)))
+    stacked = jnp.concatenate([padded[:, :wp], padded[:, 64:wp + 64]],
+                              axis=0)
+    return stacked, (h, w, hp, wp), pad
 
 
 @functools.partial(jax.jit,

@@ -42,8 +42,7 @@ def _load():
             return None
         lib = ctypes.CDLL(_SO_PATH)
         pf = ctypes.POINTER(ctypes.c_float)
-        lib.ftk_klt_fast_pyramid.restype = None
-        lib.ftk_klt_fast_pyramid.argtypes = [
+        common = [
             ctypes.POINTER(pf), ctypes.POINTER(pf),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
@@ -52,6 +51,12 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_float,
         ]
+        lib.ftk_klt_fast_pyramid.restype = None
+        lib.ftk_klt_fast_pyramid.argtypes = common
+        lib.ftk_klt_affine_fast_pyramid.restype = None
+        lib.ftk_klt_affine_fast_pyramid.argtypes = common
+        lib.ftk_klt_lssd_fast_pyramid.restype = None
+        lib.ftk_klt_lssd_fast_pyramid.argtypes = common + [ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -60,12 +65,8 @@ def available() -> bool:
     return _load() is not None
 
 
-def klt_fast_cpu(ref_pyramid, cur_pyramid, ref_uv, cur_uv=None, status=None,
-                 opts=None):
-    """Single-thread CPU fast-KLT over a pyramid (level 0 = finest).
-
-    Mirrors BasicKlt.track's contract: (cur_uv [N,2] f32, status [N] i8).
-    """
+def _run_fast(fn_name, ref_pyramid, cur_pyramid, ref_uv, cur_uv, status,
+              opts, extra=()):
     from feature_tracker_tpu.core.config import KltOptions
 
     opts = opts or KltOptions()
@@ -93,12 +94,37 @@ def klt_fast_cpu(ref_pyramid, cur_pyramid, ref_uv, cur_uv=None, status=None,
     hs = (ctypes.c_int * levels)(*[im.shape[0] for im in refs])
     ws = (ctypes.c_int * levels)(*[im.shape[1] for im in refs])
 
-    lib.ftk_klt_fast_pyramid(
+    getattr(lib, fn_name)(
         ref_ptrs, cur_ptrs, hs, ws, levels,
         ref_uv.ctypes.data_as(pf), out_uv.ctypes.data_as(pf),
         out_st.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         n, opts.max_track_points,
         opts.patch_row_half_size, opts.patch_col_half_size,
         opts.max_iterations, opts.max_tolerance_large_step,
-        opts.max_converge_step)
+        opts.max_converge_step, *extra)
     return out_uv, out_st
+
+
+def klt_fast_cpu(ref_pyramid, cur_pyramid, ref_uv, cur_uv=None, status=None,
+                 opts=None):
+    """Single-thread CPU fast-KLT over a pyramid (level 0 = finest).
+
+    Mirrors BasicKlt.track's contract: (cur_uv [N,2] f32, status [N] i8).
+    """
+    return _run_fast("ftk_klt_fast_pyramid", ref_pyramid, cur_pyramid,
+                     ref_uv, cur_uv, status, opts)
+
+
+def klt_affine_fast_cpu(ref_pyramid, cur_pyramid, ref_uv, cur_uv=None,
+                        status=None, opts=None):
+    """Affine-warp fast-KLT ground truth (mirrors AffineKlt.track)."""
+    return _run_fast("ftk_klt_affine_fast_pyramid", ref_pyramid,
+                     cur_pyramid, ref_uv, cur_uv, status, opts)
+
+
+def klt_lssd_fast_cpu(ref_pyramid, cur_pyramid, ref_uv, cur_uv=None,
+                      status=None, opts=None, luminance=False):
+    """SE(2)/LSSD fast-KLT ground truth (mirrors LssdKlt.track)."""
+    return _run_fast("ftk_klt_lssd_fast_pyramid", ref_pyramid, cur_pyramid,
+                     ref_uv, cur_uv, status, opts,
+                     extra=(int(luminance),))

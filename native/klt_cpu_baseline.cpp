@@ -72,6 +72,95 @@ inline float sample(const Level& L, const Taps& t, int r, int c) {
          + t.w_br * p[L.w + 1];
 }
 
+// Unrolled Cholesky solve of a small SPD system (row-major lower half
+// used). Mirrors the Pallas kernels' scalar Cholesky (pallas_warp_klt.py
+// _chol_solve) so the ground truth pins the production float path: NaN
+// propagates out of sqrt/division for non-SPD H exactly like the kernel.
+template <int N>
+inline void chol_solve(const float (&h)[N][N], const float (&b)[N],
+                       float (&x)[N]) {
+    float low[N][N];
+    for (int i = 0; i < N; ++i) {
+        for (int j = 0; j <= i; ++j) {
+            float acc = h[i][j];
+            for (int k = 0; k < j; ++k) acc -= low[i][k] * low[j][k];
+            low[i][j] = (i == j) ? std::sqrt(acc) : acc / low[j][j];
+        }
+    }
+    float y[N];
+    for (int i = 0; i < N; ++i) {
+        float acc = b[i];
+        for (int k = 0; k < i; ++k) acc -= low[i][k] * y[k];
+        y[i] = acc / low[i][i];
+    }
+    for (int i = N - 1; i >= 0; --i) {
+        float acc = y[i];
+        for (int k = i + 1; k < N; ++k) acc -= low[k][i] * x[k];
+        x[i] = acc / low[i][i];
+    }
+}
+
+// Shared per-level reference setup for the warp trackers: extended patch,
+// validity, un-halved central-difference gradients, valid count.
+// (reference algorithm: optical_flow.cpp:49-124; same contract as the
+// basic port above.)
+struct RefSetup {
+    float ex_patch[kMaxPatch][kMaxPatch];
+    bool ex_valid[kMaxPatch][kMaxPatch];
+    float dx[kMaxPatch][kMaxPatch];
+    float dy[kMaxPatch][kMaxPatch];
+    int n_valid_ref;
+};
+
+inline void ref_setup(const Level& R, float rx, float ry, int pr, int pc,
+                      RefSetup* s) {
+    const int epr = pr + 2;
+    const int epc = pc + 2;
+    bool finite_ref = std::isfinite(rx) && std::isfinite(ry);
+    Taps rt = make_taps(finite_ref ? rx : 0.0f, finite_ref ? ry : 0.0f);
+    int min_r = rt.r0 - epr / 2;
+    int min_c = rt.c0 - epc / 2;
+    s->n_valid_ref = 0;
+    for (int i = 0; i < epr; ++i) {
+        for (int j = 0; j < epc; ++j) {
+            bool ok = finite_ref
+                   && tap_valid(min_r + i, min_c + j, R.h, R.w);
+            s->ex_valid[i][j] = ok;
+            s->ex_patch[i][j] =
+                ok ? sample(R, rt, min_r + i, min_c + j) : 0.0f;
+            s->n_valid_ref += ok;
+        }
+    }
+    for (int i = 0; i < pr; ++i) {
+        for (int j = 0; j < pc; ++j) {
+            bool g = s->ex_valid[i + 1][j] && s->ex_valid[i + 1][j + 2]
+                  && s->ex_valid[i][j + 1] && s->ex_valid[i + 2][j + 1];
+            s->dx[i][j] = g ? s->ex_patch[i + 1][j + 2]
+                            - s->ex_patch[i + 1][j] : 0.0f;
+            s->dy[i][j] = g ? s->ex_patch[i + 2][j + 1]
+                            - s->ex_patch[i][j + 1] : 0.0f;
+        }
+    }
+}
+
+// Per-pixel bounds-checked bilinear sample of the current image (the warp
+// trackers sample at per-pixel warped positions, so the constant-weight
+// trick does not apply; reference: affine_klt_fast.cpp:150-152).
+inline bool warp_sample(const Level& C, float x, float y, float* out) {
+    if (!(std::isfinite(x) && std::isfinite(y))) return false;
+    float fr0 = std::floor(y);
+    float fc0 = std::floor(x);
+    int r0 = static_cast<int>(fr0);
+    int c0 = static_cast<int>(fc0);
+    if (!tap_valid(r0, c0, C.h, C.w)) return false;
+    float fr = y - fr0;
+    float fc = x - fc0;
+    const float* p = C.img + r0 * C.w + c0;
+    *out = (1.0f - fr) * (1.0f - fc) * p[0] + (1.0f - fr) * fc * p[1]
+         + fr * (1.0f - fc) * p[C.w] + fr * fc * p[C.w + 1];
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -225,6 +314,337 @@ void ftk_klt_fast_pyramid(const float** ref_imgs, const float** cur_imgs,
         }
         cur_uv[2 * f] = x;
         cur_uv[2 * f + 1] = y;
+        status[f] = st;
+    }
+}
+
+// Affine-warp fast-mode pyramidal KLT (reference algorithm:
+// src/optical_flow_tracker/affine_klt/optical_flow_affine_klt_fast.cpp:
+// 7-137 as documented in SURVEY.md §2.1; same equilibrated-Cholesky float
+// path as ops/pallas_warp_klt.py::_affine_kernel). The affine matrix
+// starts at identity once per call and persists across levels
+// (affine_klt.cpp:20); positions scale x2 between levels, A does not.
+void ftk_klt_affine_fast_pyramid(
+        const float** ref_imgs, const float** cur_imgs,
+        const int* hs, const int* ws, int levels,
+        const float* ref_uv, float* cur_uv, int8_t* status,
+        int n, int max_track_points,
+        int patch_half_r, int patch_half_c, int max_iter,
+        int max_tolerance_large_step, float max_converge_step) {
+    const int pr = 2 * patch_half_r + 1;
+    const int pc = 2 * patch_half_c + 1;
+    if (pr + 2 > kMaxPatch || pc + 2 > kMaxPatch) return;
+
+    Level ref_lv[16], cur_lv[16];
+    for (int l = 0; l < levels; ++l) {
+        ref_lv[l] = {ref_imgs[l], hs[l], ws[l]};
+        cur_lv[l] = {cur_imgs[l], hs[l], ws[l]};
+    }
+    const float coarse = 1.0f / static_cast<float>(1 << (levels - 1));
+    const int h0 = hs[0], w0 = ws[0];
+    RefSetup S;
+
+    for (int f = 0; f < n; ++f) {
+        if (f >= max_track_points) continue;
+        if (status[f] > kTracked) continue;
+
+        float rx = ref_uv[2 * f] * coarse;
+        float ry = ref_uv[2 * f + 1] * coarse;
+        float x = cur_uv[2 * f] * coarse;
+        float y = cur_uv[2 * f + 1] * coarse;
+        float c00 = 1.0f, c01 = 0.0f, c10 = 0.0f, c11 = 1.0f;
+        int8_t st = status[f];
+
+        for (int lvl = levels - 1; lvl >= 0; --lvl) {
+            const Level& R = ref_lv[lvl];
+            const Level& C = cur_lv[lvl];
+            ref_setup(R, rx, ry, pr, pc, &S);
+            bool no_pixels = S.n_valid_ref == 0;
+            st = no_pixels ? kOutside : kLargeResidual;
+
+            // H precomputed once per level with x,y anchored at the
+            // level-entry position (affine_klt_fast.cpp:95-137),
+            // equilibrated by the coordinate scale like the Pallas
+            // kernel: solve (DHD)w = Db, z = Dw.
+            const float x_ent = x, y_ent = y;
+            float scl = std::fmax(std::fmax(std::fabs(x_ent),
+                                            std::fabs(y_ent)), 1.0f);
+            float dvec[6] = {1.0f / scl, 1.0f / scl, 1.0f / scl,
+                             1.0f / scl, 1.0f, 1.0f};
+            float hess[6][6] = {};
+            for (int i = 0; i < pr; ++i) {
+                for (int j = 0; j < pc; ++j) {
+                    float gx = S.dx[i][j];
+                    float gy = S.dy[i][j];
+                    float xo = static_cast<float>(j - pc / 2) + x_ent;
+                    float yo = static_cast<float>(i - pr / 2) + y_ent;
+                    float j6[6] = {xo * gx, xo * gy, yo * gx, yo * gy,
+                                   gx, gy};
+                    for (int a = 0; a < 6; ++a)
+                        for (int b = 0; b <= a; ++b)
+                            hess[a][b] += j6[a] * j6[b];
+                }
+            }
+            for (int a = 0; a < 6; ++a)
+                for (int b = 0; b <= a; ++b) {
+                    hess[a][b] *= dvec[a] * dvec[b];
+                    hess[b][a] = hess[a][b];
+                }
+
+            float last_sq = INFINITY;
+            int large_cnt = 0;
+            bool done = no_pixels;
+            for (int it = 0; it < max_iter && !done; ++it) {
+                float b6[6] = {};
+                int num_valid = 0;
+                for (int i = 0; i < pr; ++i) {
+                    for (int j = 0; j < pc; ++j) {
+                        if (!S.ex_valid[i + 1][j + 1]) continue;
+                        float xo = static_cast<float>(j - pc / 2);
+                        float yo = static_cast<float>(i - pr / 2);
+                        float wx = c00 * xo + c01 * yo + x;
+                        float wy = c10 * xo + c11 * yo + y;
+                        float curv;
+                        if (!warp_sample(C, wx, wy, &curv)) continue;
+                        float dt = curv - S.ex_patch[i + 1][j + 1];
+                        b6[0] -= dt * wx * S.dx[i][j];
+                        b6[1] -= dt * wx * S.dy[i][j];
+                        b6[2] -= dt * wy * S.dx[i][j];
+                        b6[3] -= dt * wy * S.dy[i][j];
+                        b6[4] -= dt * S.dx[i][j];
+                        b6[5] -= dt * S.dy[i][j];
+                        ++num_valid;
+                    }
+                }
+                if (num_valid == 0) break;
+                float beq[6], w6[6], z[6];
+                for (int a = 0; a < 6; ++a) beq[a] = b6[a] * dvec[a];
+                chol_solve<6>(hess, beq, w6);
+                for (int a = 0; a < 6; ++a) z[a] = w6[a] * dvec[a];
+                float vx = z[0] * x + z[2] * y + z[4];
+                float vy = z[1] * x + z[3] * y + z[5];
+                if (std::isnan(vx) || std::isnan(vy)) {
+                    st = kNumericError;
+                    break;
+                }
+                x += vx;
+                y += vy;
+                c00 += z[0];
+                c01 += z[2];
+                c10 += z[1];
+                c11 += z[3];
+                float sq = vx * vx + vy * vy;
+                if (sq < last_sq) {
+                    last_sq = sq;
+                    large_cnt = 0;
+                } else if (++large_cnt >= max_tolerance_large_step) {
+                    break;
+                }
+                if (sq < max_converge_step) {
+                    st = kTracked;
+                    break;
+                }
+            }
+
+            if (lvl > 0) {
+                rx *= 2.0f;
+                ry *= 2.0f;
+                x *= 2.0f;
+                y *= 2.0f;
+            }
+        }
+
+        if (x < 0.0f || x > static_cast<float>(w0 - 1) || y < 0.0f
+            || y > static_cast<float>(h0 - 1)) {
+            st = kOutside;
+        }
+        cur_uv[2 * f] = x;
+        cur_uv[2 * f + 1] = y;
+        status[f] = st;
+    }
+}
+
+// SE(2) (LSSD) fast-mode pyramidal KLT (reference algorithm:
+// src/optical_flow_tracker/lssd_klt/optical_flow_lssd_klt_fast.cpp as
+// documented in SURVEY.md §2.1; float path mirrors
+// ops/pallas_warp_klt.py::_lssd_kernel). t_cr initializes from the
+// prediction at the coarsest level (lssd_klt.cpp:22-23), only t scales
+// between levels (lssd_klt.cpp:49), and the final position is
+// R_cr @ ref_uv + t_cr at full resolution (lssd_klt.cpp:43).
+void ftk_klt_lssd_fast_pyramid(
+        const float** ref_imgs, const float** cur_imgs,
+        const int* hs, const int* ws, int levels,
+        const float* ref_uv, float* cur_uv, int8_t* status,
+        int n, int max_track_points,
+        int patch_half_r, int patch_half_c, int max_iter,
+        int max_tolerance_large_step, float max_converge_step,
+        int luminance) {
+    const int pr = 2 * patch_half_r + 1;
+    const int pc = 2 * patch_half_c + 1;
+    if (pr + 2 > kMaxPatch || pc + 2 > kMaxPatch) return;
+
+    Level ref_lv[16], cur_lv[16];
+    for (int l = 0; l < levels; ++l) {
+        ref_lv[l] = {ref_imgs[l], hs[l], ws[l]};
+        cur_lv[l] = {cur_imgs[l], hs[l], ws[l]};
+    }
+    const float coarse = 1.0f / static_cast<float>(1 << (levels - 1));
+    const int h0 = hs[0], w0 = ws[0];
+    RefSetup S;
+    float inner[kMaxPatch][kMaxPatch];
+
+    for (int f = 0; f < n; ++f) {
+        if (f >= max_track_points) continue;
+        if (status[f] > kTracked) continue;
+
+        float rx = ref_uv[2 * f] * coarse;
+        float ry = ref_uv[2 * f + 1] * coarse;
+        // rot = identity prediction; t = prediction - R @ ref (scaled).
+        float c00 = 1.0f, c01 = 0.0f, c10 = 0.0f, c11 = 1.0f;
+        float cx = cur_uv[2 * f] * coarse - rx;
+        float cy = cur_uv[2 * f + 1] * coarse - ry;
+        int8_t st = status[f];
+
+        for (int lvl = levels - 1; lvl >= 0; --lvl) {
+            const Level& R = ref_lv[lvl];
+            const Level& C = cur_lv[lvl];
+            ref_setup(R, rx, ry, pr, pc, &S);
+            bool no_pixels = S.n_valid_ref == 0;
+            st = no_pixels ? kOutside : kLargeResidual;
+
+            float ref_mean = 1.0f;
+            if (luminance) {
+                // Sum over the inner patch / count over the whole
+                // extended patch (lssd_klt_fast.cpp:29-36).
+                float acc = 0.0f;
+                for (int i = 0; i < pr; ++i)
+                    for (int j = 0; j < pc; ++j)
+                        acc += S.ex_valid[i + 1][j + 1]
+                                   ? S.ex_patch[i + 1][j + 1] : 0.0f;
+                ref_mean = acc / static_cast<float>(
+                    S.n_valid_ref > 0 ? S.n_valid_ref : 1);
+            }
+            for (int i = 0; i < pr; ++i) {
+                for (int j = 0; j < pc; ++j) {
+                    S.dx[i][j] /= ref_mean;
+                    S.dy[i][j] /= ref_mean;
+                    inner[i][j] = S.ex_patch[i + 1][j + 1] / ref_mean;
+                }
+            }
+
+            float last_sq = INFINITY;
+            int large_cnt = 0;
+            bool done = no_pixels;
+            for (int it = 0; it < max_iter && !done; ++it) {
+                // First pass: samples + (optional) current-patch mean.
+                float curv[kMaxPatch][kMaxPatch];
+                bool okc[kMaxPatch][kMaxPatch];
+                float mean_acc = 0.0f;
+                int n_cur = 0;
+                for (int i = 0; i < pr; ++i) {
+                    for (int j = 0; j < pc; ++j) {
+                        float px = rx + static_cast<float>(j - pc / 2);
+                        float py = ry + static_cast<float>(i - pr / 2);
+                        float wx = c00 * px + c01 * py + cx;
+                        float wy = c10 * px + c11 * py + cy;
+                        float v = 0.0f;
+                        bool ok = warp_sample(C, wx, wy, &v);
+                        okc[i][j] = ok;
+                        curv[i][j] = ok ? v : 0.0f;
+                        n_cur += ok;
+                        // Inner-of-patch numerator, whole-patch count
+                        // (lssd_klt_fast.cpp:66-73).
+                        if (i >= 1 && i <= pr - 2 && j >= 1
+                            && j <= pc - 2)
+                            mean_acc += curv[i][j];
+                    }
+                }
+                float cur_mean = 1.0f;
+                if (luminance)
+                    cur_mean = mean_acc
+                             / static_cast<float>(n_cur > 0 ? n_cur : 1);
+
+                float hess[3][3] = {};
+                float b3[3] = {};
+                int num_valid = 0;
+                for (int i = 0; i < pr; ++i) {
+                    for (int j = 0; j < pc; ++j) {
+                        if (!(okc[i][j] && S.ex_valid[i + 1][j + 1]))
+                            continue;
+                        float px = rx + static_cast<float>(j - pc / 2);
+                        float py = ry + static_cast<float>(i - pr / 2);
+                        // d(pos)/dtheta = R @ (-row, col).
+                        float jt_x = c00 * (-py) + c01 * px;
+                        float jt_y = c10 * (-py) + c11 * px;
+                        float jtheta = S.dx[i][j] * jt_x
+                                     + S.dy[i][j] * jt_y;
+                        float res = curv[i][j] / cur_mean - inner[i][j];
+                        hess[0][0] += jtheta * jtheta;
+                        hess[1][0] += S.dx[i][j] * jtheta;
+                        hess[1][1] += S.dx[i][j] * S.dx[i][j];
+                        hess[2][0] += S.dy[i][j] * jtheta;
+                        hess[2][1] += S.dy[i][j] * S.dx[i][j];
+                        hess[2][2] += S.dy[i][j] * S.dy[i][j];
+                        b3[0] -= jtheta * res;
+                        b3[1] -= S.dx[i][j] * res;
+                        b3[2] -= S.dy[i][j] * res;
+                        ++num_valid;
+                    }
+                }
+                if (num_valid == 0) break;
+                hess[0][1] = hess[1][0];
+                hess[0][2] = hess[2][0];
+                hess[1][2] = hess[2][1];
+                float v3[3];
+                chol_solve<3>(hess, b3, v3);
+                if (std::isnan(v3[0]) || std::isnan(v3[1])
+                    || std::isnan(v3[2])) {
+                    st = kNumericError;
+                    break;
+                }
+                // rot @ [[1, -v0], [v0, 1]], then division by the first
+                // column's norm (lssd_klt.cpp:113-117).
+                float n00 = c00 + c01 * v3[0];
+                float n01 = c01 - c00 * v3[0];
+                float n10 = c10 + c11 * v3[0];
+                float n11 = c11 - c10 * v3[0];
+                float norm = std::sqrt(n00 * n00 + n10 * n10);
+                c00 = n00 / norm;
+                c01 = n01 / norm;
+                c10 = n10 / norm;
+                c11 = n11 / norm;
+                cx += v3[1];
+                cy += v3[2];
+                float sq = v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2];
+                if (sq < last_sq) {
+                    last_sq = sq;
+                    large_cnt = 0;
+                } else if (++large_cnt >= max_tolerance_large_step) {
+                    break;
+                }
+                if (sq < max_converge_step) {
+                    st = kTracked;
+                    break;
+                }
+            }
+
+            if (lvl > 0) {
+                rx *= 2.0f;
+                ry *= 2.0f;
+                cx *= 2.0f;
+                cy *= 2.0f;
+            }
+        }
+
+        // Final full-resolution position R_cr @ ref_uv + t_cr.
+        float fx = c00 * ref_uv[2 * f] + c01 * ref_uv[2 * f + 1] + cx;
+        float fy = c10 * ref_uv[2 * f] + c11 * ref_uv[2 * f + 1] + cy;
+        if (fx < 0.0f || fx > static_cast<float>(w0 - 1) || fy < 0.0f
+            || fy > static_cast<float>(h0 - 1)) {
+            st = kOutside;
+        }
+        cur_uv[2 * f] = fx;
+        cur_uv[2 * f + 1] = fy;
         status[f] = st;
     }
 }
