@@ -32,3 +32,6 @@ from feature_tracker_tpu.parallel.ba import (  # noqa: F401
     BaOptions,
     bundle_adjust,
 )
+from feature_tracker_tpu.parallel.scaling import (  # noqa: F401
+    measure_ba_scaling,
+)

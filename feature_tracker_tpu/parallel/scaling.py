@@ -1,0 +1,149 @@
+"""Measured (not just estimated) scaling of the landmark-sharded BA.
+
+``ba_comm_report`` (mesh.py) gives the closed-form bytes/flops estimate;
+this module MEASURES wall-clock per-iteration times of the same
+``ba_step`` on a 1-device mesh vs the full mesh (and, when possible, the
+("dcn","ici") multi-host layout), plus a landmark-local-only variant that
+stops before the reduced camera system's scatter/psum — the gap between
+the two isolates the collective + replicated-solve overhead.
+
+Caveat recorded in the output: on the virtual-CPU meshes used by tests
+and the dryrun (xla_force_host_platform_device_count) every "device"
+shares the same physical cores and XLA:CPU thread pool, so the measured
+speedup is a LOWER bound on accelerator-mesh scaling (communication is
+free, compute parallelism is bounded by host cores); the number to watch
+is that efficiency does not crater when the psum is added.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from feature_tracker_tpu.parallel.ba import BaOptions, _jacobians, ba_step
+from feature_tracker_tpu.parallel.mesh import (
+    ba_comm_report,
+    feature_sharding,
+    make_mesh,
+    make_multihost_mesh,
+    replicated,
+)
+
+
+def _make_problem(num_landmarks: int, obs: int, num_poses: int, seed=7):
+    rng = np.random.default_rng(seed)
+    k4 = np.asarray([200.0, 200.0, 160.0, 120.0], np.float32)
+    lm = np.stack([rng.uniform(-3, 3, num_landmarks),
+                   rng.uniform(-2, 2, num_landmarks),
+                   rng.uniform(8, 16, num_landmarks)], -1).astype(np.float32)
+    t = np.stack([np.zeros(num_poses), np.zeros(num_poses),
+                  -0.4 * np.arange(num_poses)], -1).astype(np.float32)
+    q = np.tile(np.array([1, 0, 0, 0], np.float32), (num_poses, 1))
+    idx = np.stack([rng.choice(num_poses, obs, replace=False)
+                    for _ in range(num_landmarks)]).astype(np.int32)
+    p_c = lm[:, None, :] + t[idx]
+    uv = np.stack([200.0 * p_c[..., 0] / p_c[..., 2] + 160.0,
+                   200.0 * p_c[..., 1] / p_c[..., 2] + 120.0],
+                  -1).astype(np.float32)
+    t_noisy = t + np.array([0, 0, 0.05], np.float32)
+    return q, t_noisy, lm, idx, uv, np.ones(idx.shape, bool), k4
+
+
+def _local_only(q, t, lm, idx, uv, mask, k4):
+    """Shard-local Schur work only (jacobians + landmark elimination +
+    pair blocks), reduced to a scalar checksum — no [P,P,6,6] scatter, so
+    the only collective is the trivial psum of one scalar."""
+    r, j_pose, j_lm, _ = _jacobians(q, t, lm, idx, uv, mask, k4)
+    a_l = (jnp.einsum("loik,loij->lkj", j_lm, j_lm)
+           + 1e-4 * jnp.eye(3))
+    g_l = -jnp.einsum("loik,loi->lk", j_lm, r)
+    w = jnp.einsum("loik,loij->lokj", j_pose, j_lm)
+    c = -jnp.einsum("loik,loi->lok", j_pose, r)
+    a_inv = jnp.linalg.inv(a_l)
+    w_ainv = jnp.einsum("loij,ljk->loik", w, a_inv)
+    pair = jnp.einsum("loik,lpjk->lopij", w_ainv, w)
+    rhs = c - jnp.einsum("loik,lk->loi", w_ainv, g_l)
+    return jnp.sum(pair) + jnp.sum(rhs)
+
+
+def _time_call(fn, args, iters: int, rounds: int = 3) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def measure_ba_scaling(devices=None, num_landmarks: int = 8192,
+                       obs: int = 4, num_poses: int = 8,
+                       iters: int = 5) -> dict:
+    """Wall-clock ba_step scaling: 1 device vs the full mesh vs the
+    ("dcn","ici") layout, full step and local-only variant. Returns a
+    dict with per-config ms and derived speedups/efficiencies plus the
+    analytic ba_comm_report for comparison."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_dev = len(devices)
+    prob = _make_problem(num_landmarks, obs, num_poses)
+    opts = BaOptions(max_iterations=1, num_fixed_poses=2)
+
+    step = jax.jit(lambda q, t, lm, idx, uv, mask, k4:
+                   ba_step(q, t, lm, idx, uv, mask, k4, opts))
+    local = jax.jit(_local_only)
+
+    def put(mesh):
+        sh = feature_sharding(mesh)
+        rep = replicated(mesh)
+        q, t, lm, idx, uv, mask, k4 = prob
+        return (jax.device_put(jnp.asarray(q), rep),
+                jax.device_put(jnp.asarray(t), rep),
+                jax.device_put(jnp.asarray(lm), sh),
+                jax.device_put(jnp.asarray(idx), sh),
+                jax.device_put(jnp.asarray(uv), sh),
+                jax.device_put(jnp.asarray(mask), sh),
+                jax.device_put(jnp.asarray(k4), rep))
+
+    configs = {"1dev": make_mesh(devices=devices[:1])}
+    if n_dev > 1:
+        configs[f"{n_dev}dev_flat"] = make_mesh(devices=devices)
+    if n_dev >= 4 and n_dev % 2 == 0:
+        configs[f"{n_dev}dev_dcn2"] = make_multihost_mesh(2,
+                                                          devices=devices)
+
+    out: dict = {"num_landmarks": num_landmarks, "obs": obs,
+                 "num_poses": num_poses, "n_devices": n_dev,
+                 "note": ("virtual-CPU meshes share host cores: measured "
+                          "speedup is a lower bound; see parallel/"
+                          "scaling.py")}
+    for name, mesh in configs.items():
+        args = put(mesh)
+        out[f"step_ms_{name}"] = round(_time_call(step, args, iters) * 1e3,
+                                       3)
+        out[f"local_ms_{name}"] = round(
+            _time_call(local, args, iters) * 1e3, 3)
+    if n_dev > 1:
+        full = f"{n_dev}dev_flat"
+        out["speedup_full_step"] = round(
+            out["step_ms_1dev"] / out[f"step_ms_{full}"], 3)
+        out["speedup_local_only"] = round(
+            out["local_ms_1dev"] / out[f"local_ms_{full}"], 3)
+        out["efficiency_full_step"] = round(
+            out["speedup_full_step"] / n_dev, 3)
+        out["efficiency_local_only"] = round(
+            out["speedup_local_only"] / n_dev, 3)
+        # Communication + replicated-solve overhead isolated by the gap.
+        out["comm_solve_overhead_ms"] = round(
+            out[f"step_ms_{full}"] - out[f"local_ms_{full}"], 3)
+        mesh_for_report = configs.get(f"{n_dev}dev_dcn2",
+                                      configs[full])
+        out["analytic"] = ba_comm_report(num_poses, num_landmarks, obs,
+                                         mesh_for_report)
+    return out
