@@ -95,25 +95,29 @@ class NNFeatureMatcher:
     @classmethod
     def from_file(cls, options: NNMatcherOptions = NNMatcherOptions(),
                   path=None):
-        """Matcher with pretrained LightGlue weights
-        (weights/lightglue_superpoint.npz, produced by train/pretrain.py);
-        None when absent or when the options imply a different
-        architecture than the trained one (descriptor dim / depth)."""
+        """Matcher with pretrained LightGlue weights — the variant picks
+        the file, mirroring the reference's per-variant ONNX paths
+        (nn_feature_matcher.cpp:11-31): SuperPoint descriptors load
+        weights/lightglue_superpoint.npz, DISK descriptors
+        weights/lightglue_disk.npz (both from train/pretrain.py). None
+        when the file is absent or the depth differs from the trained
+        architecture."""
         import os
 
         from feature_tracker_tpu.utils.weights import (
             load_pytree,
             weights_path,
         )
-        path = path or weights_path("lightglue_superpoint.npz")
-        if not os.path.exists(path):
-            return None
-        if _DESC_DIM[options.model_type] != 256 or options.depth != 9:
+        dim = _DESC_DIM[options.model_type]
+        path = path or weights_path(
+            "lightglue_superpoint.npz" if dim == 256
+            else "lightglue_disk.npz")
+        if not os.path.exists(path) or options.depth != 9:
             return None
         m = cls(options)
         n = options.max_number_of_matches
         kpts = jnp.zeros((n, 2), jnp.float32)
-        desc = jnp.zeros((n, 256), jnp.float32)
+        desc = jnp.zeros((n, dim), jnp.float32)
         mask = jnp.ones((n,), bool)
         like = m.model.init(m._rng, kpts, desc, mask, kpts, desc, mask)
         m._variables = load_pytree(path, like)

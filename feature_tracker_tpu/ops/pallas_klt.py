@@ -14,18 +14,28 @@ patch/gradients/2x2 Hessian and iterates the Gauss-Newton update, then
 doubles the coordinates for the next level. One program dispatch per
 frame, zero HBM traffic inside the loop.
 
-Performance notes (round 2 rework; measured on 1x v5e in BASELINE.md):
+Performance notes (rounds 2-3; measured on 1x v5e in BASELINE.md):
  - Patch sampling is a separable constant-weight contraction of an
    aligned window with hat-weight selection matrices — tile-aligned
    loads with the sub-tile offset absorbed by the interpolation weights
    (roll-free; Mosaic's dynamic sublane rotate miscompiles for several
    shift/shape combos).
- - The wide (256-lane) column contraction is STACKED across the
-   interleave batch: one ``[B*win_r, 256] x [256, B*16]`` matmul
-   computes every feature's column-interpolated block per iteration
-   (and per reference setup), ~4x fewer MXU issues than per-feature
-   matmuls; feature k's block is read back at tile-aligned offsets
-   (off-diagonal blocks are never read).
+ - The wide column contraction is STACKED across the interleave batch:
+   one ``[B*win_r, 128] x [128, B*16]`` matmul computes every feature's
+   column-interpolated block per iteration (and per reference setup);
+   feature k's block is read back at tile-aligned offsets
+   (off-diagonal blocks are never read). Windows are 128 lanes via a
+   64-column-shifted second image plane (round 3; anchor granularity
+   64) — halves the contraction and every weight-build area.
+ - Round-3 ablation profile (fixed-iteration probes, 10240 feats x 4
+   levels): setup ~2.6 ms, full ~36 ms. Per-iteration cost splits
+   ~12.5 ms bias reduce chains, ~4 ms stacked contraction, ~2.7 ms
+   scalar advance, ~1.3 ms weight builds. Rewrites that looked better
+   on paper measured WORSE and are documented in the bias comment
+   below: every extra small-matmul issue carries ~20-35ns fixed MXU
+   overhead, and cross-lane-offset elementwise ops insert expensive
+   relayouts — op COUNT and layout offsets, not FLOPs, are the
+   currency of this kernel.
  - The per-iteration bias uses a MASKED TRACE IDENTITY instead of
    materializing the patch:  b = sum(A_E) - <A_D, U>  with
    A = RW_masked^T @ [dx|dy|dx*inner|dy*inner]. The reference's dt
@@ -83,6 +93,7 @@ from feature_tracker_tpu.ops.pallas_warp_klt import (
     _status0,
     _xdot,
 )
+
 
 WIN_C = 128  # window lanes: patch cols 16 + 64-granular anchor offset
              # (the padded images carry a 64-column-shifted second plane,
@@ -171,13 +182,15 @@ class _RigidSampler:
         return ((min_r >= 0) & (min_r + self.pr - 1 <= self.img_h - 2)
                 & (min_c >= 0) & (min_c + self.pc - 1 <= self.img_w - 2))
 
-    def row_weights_t(self, ly0, i_lo=None, i_hi=None):
-        """Transposed row hat weights [win_r, pr] built directly (no
+    def row_weights_t(self, ly0, i_lo=None, i_hi=None, width=None):
+        """Transposed row hat weights [win_r, width] built directly (no
         transpose op): rwT[r, i] = hat(ly0 + i - r), optionally zeroed
         outside patch-row range [i_lo, i_hi] (the cur-validity row
-        mask)."""
-        r = jax.lax.broadcasted_iota(jnp.int32, (self.win_r, self.pr), 0)
-        i = jax.lax.broadcasted_iota(jnp.int32, (self.win_r, self.pr), 1)
+        mask; also zeroes pad columns i >= pr when width > pr since
+        i_hi <= pr - 1)."""
+        n = self.pr if width is None else width
+        r = jax.lax.broadcasted_iota(jnp.int32, (self.win_r, n), 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, (self.win_r, n), 1)
         w = jnp.maximum(
             0.0, 1.0 - jnp.abs(ly0 + i.astype(jnp.float32)
                                - r.astype(jnp.float32)))
@@ -217,6 +230,9 @@ class _RigidSampler:
         cw_all = self.stacked_col_weights(lx0s, stride)
         u_all = _xdot(wins_all, cw_all, ((1,), (1,)), self.precise)
         return u_all, loads, stride
+
+
+BATCH = 4  # interleaved per-feature GN chains per while_loop
 
 
 def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
@@ -281,7 +297,7 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         # tile-aligned), plus the reference-validity rectangle bounds in
         # patch coordinates (scalars) for the closed-form valid count.
         # Only built on the identity path, whose 16-lane block layout
-        # requires patch_cols <= 16 (checked at trace time).
+        # requires patch rows/cols <= 16 (checked at trace time).
         if use_identity:
             pc = smp.pc
             zcol = jnp.zeros((smp.pr, 16 - pc), jnp.float32)
@@ -336,6 +352,8 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
             return (-jnp.sum(dx * dt), -jnp.sum(dy * dt),
                     jnp.sum(valid.astype(jnp.int32)))
 
+        wr = smp.win_r
+
         def iter_body(_, carry):
             xs_c = [carry[6 * k] for k in range(b)]
             ys_c = [carry[6 * k + 1] for k in range(b)]
@@ -350,11 +368,10 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 loads = [smp.load_window(cur_imgs[lvl], xs_c[k], ys_c[k])
                          for k in range(b)]
 
-            out = []
+            pre = []
             for k in range(b):
                 x, y, status, last_sq, cnt, done = (
                     carry[6 * k:6 * k + 6])
-                (h00, h01, h11, det) = setups[k][4]
                 d_aug, ref_rect = setups[k][6:8]
                 cwin, cwr0, cwc0 = loads[k]
 
@@ -364,11 +381,18 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                     # validity) is a separable rectangle, so it folds
                     # into the row weights (i-mask on rwT) and one lane
                     # mask on the stacked gradient block:
-                    #   b = sum(A[:, E-blocks]) - <A[:, D-blocks], U>
+                    #   b = sum(A[:, E-blocks] - A[:, D-blocks] * U)
                     # using sum_r rwT[r, i] = 1 for unmasked taps (hat
                     # weights are a partition of unity inside the
                     # window, which _geometry guarantees covers every
-                    # valid tap).
+                    # valid tap). The four reduce chains per feature
+                    # are the measured largest per-iteration cost, but
+                    # both alternatives measure SLOWER: stacked
+                    # matmul-reductions (each extra MXU issue carries
+                    # ~20-35ns fixed overhead at these shapes) and
+                    # fused subtract-then-sum (the three operands sit at
+                    # different lane offsets, so the subtract inserts
+                    # lane-rotate relayouts costlier than the sums).
                     min_r = jnp.floor(y).astype(jnp.int32) - smp.pr // 2
                     min_c = jnp.floor(x).astype(jnp.int32) - smp.pc // 2
                     ci_lo = jnp.maximum(0, -min_r)
@@ -385,7 +409,6 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                                & (j16 <= cj_hi)).astype(jnp.float32)
                     a = _xdot(rwt, d_aug * colmask, ((1,), (0,)),
                               precise)                       # [24, 64]
-                    wr = smp.win_r
                     u16 = u_all[wr * k:wr * (k + 1),
                                 16 * k:16 * k + 16]
                     b0 = jnp.sum(a[:, 32:48]) - jnp.sum(a[:, :16] * u16)
@@ -400,6 +423,14 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 else:
                     b0, b1, num_valid = slow_bias(k, cwin, cwr0, cwc0,
                                                   x, y)
+                pre.append((x, y, status, last_sq, cnt, done,
+                            num_valid, b0, b1))
+
+            out = []
+            for k in range(b):
+                (x, y, status, last_sq, cnt, done, num_valid,
+                 b0, b1) = pre[k]
+                (h00, h01, h11, det) = setups[k][4]
                 # Closed-form 2x2 solve (LDLT equivalent).
                 vx = (h11 * b0 - h01 * b1) / det
                 vy = (h00 * b1 - h01 * b0) / det
@@ -431,8 +462,6 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         return ([final[6 * k] for k in range(b)],
                 [final[6 * k + 1] for k in range(b)],
                 [final[6 * k + 2] for k in range(b)])
-
-    BATCH = 4
 
     def one_batch(bi, _):
         f0 = bi * BATCH
@@ -503,12 +532,13 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
     path's 16-lane block layout requires patch_cols <= 16; wider patches
     fall back to the masked-patch bias."""
     if use_identity is None:
-        use_identity = (not interpret) and opts.patch_cols <= 16
-    if use_identity and opts.patch_cols > 16:
+        use_identity = (not interpret and opts.patch_cols <= 16
+                        and opts.patch_rows <= 16)
+    if use_identity and (opts.patch_cols > 16 or opts.patch_rows > 16):
         raise ValueError(
-            f"use_identity requires patch_cols <= 16 (16-lane block "
-            f"layout); got patch_cols={opts.patch_cols}. Pass "
-            f"use_identity=False.")
+            f"use_identity requires patch rows/cols <= 16 (16-lane "
+            f"block layout); got {opts.patch_rows}x{opts.patch_cols}. "
+            f"Pass use_identity=False.")
     levels = len(ref_pyramid)
     n = ref_uv.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE

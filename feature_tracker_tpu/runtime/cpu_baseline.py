@@ -57,6 +57,17 @@ def _load():
         lib.ftk_klt_affine_fast_pyramid.argtypes = common
         lib.ftk_klt_lssd_fast_pyramid.restype = None
         lib.ftk_klt_lssd_fast_pyramid.argtypes = common + [ctypes.c_int]
+        lib.ftk_direct_method_pyramid.restype = None
+        lib.ftk_direct_method_pyramid.argtypes = [
+            ctypes.POINTER(pf), ctypes.POINTER(pf),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            pf, pf, pf, pf, pf, pf,
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float,
+        ]
         _lib = lib
         return _lib
 
@@ -128,3 +139,48 @@ def klt_lssd_fast_cpu(ref_pyramid, cur_pyramid, ref_uv, cur_uv=None,
     return _run_fast("ftk_klt_lssd_fast_pyramid", ref_pyramid, cur_pyramid,
                      ref_uv, cur_uv, status, opts,
                      extra=(int(luminance),))
+
+
+def direct_method_cpu(ref_pyramid, cur_pyramid, k4, p_c_in_ref, ref_uv,
+                      q_rc=None, p_rc=None, opts=None):
+    """Direct-method (DIRECT mode) pose ground truth; mirrors
+    DirectMethod.track's contract: (cur_uv, q_rc, p_rc, status)."""
+    from feature_tracker_tpu.trackers.direct import DirectMethodOptions
+
+    opts = opts or DirectMethodOptions()
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libftk_klt_baseline.so unavailable")
+
+    levels = len(ref_pyramid)
+    refs = [np.ascontiguousarray(np.asarray(im), np.float32)
+            for im in ref_pyramid]
+    curs = [np.ascontiguousarray(np.asarray(im), np.float32)
+            for im in cur_pyramid]
+    ref_uv = np.ascontiguousarray(np.asarray(ref_uv), np.float32)
+    p_ref = np.ascontiguousarray(np.asarray(p_c_in_ref), np.float32)
+    k4 = np.ascontiguousarray(np.asarray(k4), np.float32)
+    n = ref_uv.shape[0]
+    out_uv = ref_uv.copy()
+    q = np.ascontiguousarray(
+        np.asarray(q_rc if q_rc is not None else [1, 0, 0, 0]),
+        np.float32)
+    p = np.ascontiguousarray(
+        np.asarray(p_rc if p_rc is not None else [0, 0, 0]), np.float32)
+    st = np.zeros(n, np.int8)
+
+    pf = ctypes.POINTER(ctypes.c_float)
+    ref_ptrs = (pf * levels)(*[im.ctypes.data_as(pf) for im in refs])
+    cur_ptrs = (pf * levels)(*[im.ctypes.data_as(pf) for im in curs])
+    hs = (ctypes.c_int * levels)(*[im.shape[0] for im in refs])
+    ws = (ctypes.c_int * levels)(*[im.shape[1] for im in refs])
+    lib.ftk_direct_method_pyramid(
+        ref_ptrs, cur_ptrs, hs, ws, levels,
+        k4.ctypes.data_as(pf), p_ref.ctypes.data_as(pf),
+        ref_uv.ctypes.data_as(pf), out_uv.ctypes.data_as(pf),
+        q.ctypes.data_as(pf), p.ctypes.data_as(pf),
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        n, opts.max_track_points,
+        opts.patch_row_half_size, opts.patch_col_half_size,
+        opts.max_iterations, opts.max_converge_step)
+    return out_uv, q, p, st

@@ -59,36 +59,43 @@ def _kernel_moments(half: int):
     return g1, k2, k4, k22
 
 
-def _sep_conv(img, row_k, col_k, half: int):
-    """Correlate with separable kernel using replicate border."""
-    pad = jnp.pad(img, half, mode="edge")
-    # Rows pass: correlate along axis 0.
-    x = pad[:, half:-half] if half else pad
-    out = jnp.zeros_like(img)
-    for i, w in enumerate(row_k):
-        out = out + w * jax.lax.dynamic_slice_in_dim(x, i, img.shape[0], 0)
-    # Cols pass.
-    pad2 = jnp.pad(out, ((0, 0), (half, half)), mode="edge")
-    out2 = jnp.zeros_like(img)
-    for i, w in enumerate(col_k):
-        out2 = out2 + w * jax.lax.dynamic_slice_in_dim(pad2, i, img.shape[1], 1)
-    return out2
-
-
 def _moments(img, half: int, g1):
     """The 6 Gaussian-weighted moment maps, stacked [6, H, W] in the order
-    (S0, Sr, Sc, Src, Srr, Scc)."""
-    d = jnp.arange(-half, half + 1, dtype=img.dtype)
-    g = jnp.asarray(g1, img.dtype)
-    gd = g * d
-    gdd = g * d * d
-    s0 = _sep_conv(img, g, g, half)
-    sr = _sep_conv(img, gd, g, half)
-    sc = _sep_conv(img, g, gd, half)
-    src = _sep_conv(img, gd, gd, half)
-    srr = _sep_conv(img, gdd, g, half)
-    scc = _sep_conv(img, g, gdd, half)
-    return jnp.stack([s0, sr, sc, src, srr, scc])
+    (S0, Sr, Sc, Src, Srr, Scc).
+
+    The reference's O(k^2) per-pixel loops (dense_optical_flow.cpp:
+    136-189) become TWO convolutions: a rows pass producing the 3
+    distinct row-filtered planes (g, g*d, g*d*d) and a cols pass mapping
+    those 3 planes to the 6 moment products — one
+    ``lax.conv_general_dilated`` call each (channels stacked), instead
+    of 12 sequential dynamic-slice accumulations per image."""
+    k = 2 * half + 1
+    d = np.arange(-half, half + 1, dtype=np.float32)
+    g = np.asarray(g1, np.float32)
+    rows_k = np.stack([g, g * d, g * d * d], axis=-1)     # [k, 3]
+    # Col-pass mixing: output (row_plane, col_weight) pairs.
+    #   S0=(g,g)p0  Sr=(gd,g)p1  Sc=(g,gd)p0  Src=(gd,gd)p1
+    #   Srr=(gdd,g)p2  Scc=(g,gdd)p0
+    cols_k = np.zeros((k, 3, 6), np.float32)
+    cols_k[:, 0, 0] = g
+    cols_k[:, 1, 1] = g
+    cols_k[:, 0, 2] = g * d
+    cols_k[:, 1, 3] = g * d
+    cols_k[:, 2, 4] = g
+    cols_k[:, 0, 5] = g * d * d
+
+    pad = jnp.pad(img, half, mode="edge")[None, :, :, None]  # NHWC
+    dn = jax.lax.conv_dimension_numbers(pad.shape, (k, 1, 1, 3),
+                                        ("NHWC", "HWIO", "NHWC"))
+    r3 = jax.lax.conv_general_dilated(
+        pad, jnp.asarray(rows_k).reshape(k, 1, 1, 3), (1, 1), "VALID",
+        dimension_numbers=dn, precision=jax.lax.Precision.HIGHEST)
+    dn2 = jax.lax.conv_dimension_numbers(r3.shape, (1, k, 3, 6),
+                                         ("NHWC", "HWIO", "NHWC"))
+    m6 = jax.lax.conv_general_dilated(
+        r3, jnp.asarray(cols_k).reshape(1, k, 3, 6), (1, 1), "VALID",
+        dimension_numbers=dn2, precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(m6[0], -1, 0)                      # [6, H, W]
 
 
 def _poly_coeffs(moments, k2, k4, k22):
@@ -129,17 +136,23 @@ def _interp_maps(maps, r, c):
 
 def _pack_maps(maps):
     """Pack ``[K, H, W]`` maps (K <= 8) for gather-efficient bilinear
-    sampling: row r*W+c holds the K map values at (r, c) in lanes 0..K
-    and at (r, c+1) in lanes 8..8+K. One row gather then fetches all K
-    maps' left AND right taps — 2 gathers per bilinear sample instead of
-    4*K (TPU gathers are row-granular, so the 24 tiny gathers of the
-    naive form dominate the dense-flow iteration)."""
+    sampling: row r*W+c holds all FOUR bilinear taps of all K maps —
+    (r, c) in lanes 0..K, (r, c+1) in 8..8+K, (r+1, c) in 16..16+K,
+    (r+1, c+1) in 24..24+K. ONE row gather then fetches a full bilinear
+    neighborhood (TPU gathers are row-granular: the round-2 two-gather
+    layout halved again to a single 32-lane gather per iteration; the
+    naive form paid 4*K tiny gathers). 4x the HBM footprint of the maps
+    — irrelevant next to gather row count."""
     k, h, w = maps.shape
     right = jnp.concatenate([maps[:, :, 1:], maps[:, :, -1:]], axis=2)
-    p = jnp.zeros((h, w, 16), maps.dtype)
+    down = jnp.concatenate([maps[:, 1:, :], maps[:, -1:, :]], axis=1)
+    down_r = jnp.concatenate([right[:, 1:, :], right[:, -1:, :]], axis=1)
+    p = jnp.zeros((h, w, 32), maps.dtype)
     p = p.at[..., :k].set(jnp.moveaxis(maps, 0, -1))
     p = p.at[..., 8:8 + k].set(jnp.moveaxis(right, 0, -1))
-    return p.reshape(h * w, 16)
+    p = p.at[..., 16:16 + k].set(jnp.moveaxis(down, 0, -1))
+    p = p.at[..., 24:24 + k].set(jnp.moveaxis(down_r, 0, -1))
+    return p.reshape(h * w, 32)
 
 
 def _interp_maps_packed(packed, k, h, w, r, c):
@@ -152,13 +165,11 @@ def _interp_maps_packed(packed, k, h, w, r, c):
     fr = (r - r0)[..., None]
     fc = (c - c0)[..., None]
     flat_t = (r0 * w + c0).reshape(-1)
-    flat_b = flat_t + w
-    top = jnp.take(packed, flat_t, axis=0).reshape(*r.shape, 16)
-    bot = jnp.take(packed, flat_b, axis=0).reshape(*r.shape, 16)
-    vals = ((1 - fr) * (1 - fc) * top[..., :k]
-            + (1 - fr) * fc * top[..., 8:8 + k]
-            + fr * (1 - fc) * bot[..., :k]
-            + fr * fc * bot[..., 8:8 + k])
+    quad = jnp.take(packed, flat_t, axis=0).reshape(*r.shape, 32)
+    vals = ((1 - fr) * (1 - fc) * quad[..., :k]
+            + (1 - fr) * fc * quad[..., 8:8 + k]
+            + fr * (1 - fc) * quad[..., 16:16 + k]
+            + fr * fc * quad[..., 24:24 + k])
     return jnp.moveaxis(vals, -1, 0)
 
 
@@ -213,7 +224,23 @@ def _track_single(opts: DenseFlowOptions, ref_img, cur_img, init_flow):
 
     flow0 = init_flow
     done0 = jnp.zeros(ref_img.shape, dtype=bool)
-    flow, _ = jax.lax.fori_loop(0, opts.max_iterations, body, (flow0, done0))
+    # The reference iterates each pixel until its own convergence break
+    # (dense_optical_flow.cpp:191-245); converged lanes here stop
+    # updating, and once EVERY pixel has converged the remaining
+    # iterations are identity — so the while_loop's all-done early exit
+    # is bit-exact and skips the tail gathers (most pixels converge well
+    # before max_iterations on real imagery).
+    def cond(carry):
+        i, _, done = carry
+        return (i < opts.max_iterations) & jnp.logical_not(jnp.all(done))
+
+    def step(carry):
+        i, flow, done = carry
+        flow, done = body(i, (flow, done))
+        return i + 1, flow, done
+
+    _, flow, _ = jax.lax.while_loop(cond, step,
+                                    (jnp.int32(0), flow0, done0))
     return _median3x3(flow)
 
 

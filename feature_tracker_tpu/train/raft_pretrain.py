@@ -1,0 +1,123 @@
+"""Brief RAFT training on synthetic flow + held-out EPE (VERDICT r2
+item 9: the RAFT row needs a quality axis, not just ms).
+
+The reference's RAFT is untrained torch code with a shape-only self-test
+(reference: src/nn_optical_flow_tracker/raft/model.py:100-121); there is
+no published accuracy to match, so the measurable claim here is that the
+native Flax RAFT *learns*: short supervised training on dense synthetic
+similarity-warp flow (exactly known per-pixel ground truth), then EPE /
+outlier fractions on held-out pairs, recorded in weights/metrics.json
+and BASELINE.md.
+
+Run: ``python -m feature_tracker_tpu.train.raft_pretrain [steps=N]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feature_tracker_tpu.models.raft import Raft, RaftConfig
+from feature_tracker_tpu.train.pretrain import warped_texture_pair
+from feature_tracker_tpu.train.raft_eval import flow_metrics
+from feature_tracker_tpu.train.raft_train import (
+    RaftTrainConfig,
+    create_train_state,
+    make_train_step,
+)
+from feature_tracker_tpu.utils.weights import WEIGHTS_DIR, save_pytree
+
+
+def synthetic_flow_sample(rng, h, w):
+    """(ref, cur, flow): dense ground-truth flow of a similarity warp —
+    a point at p in ref appears at warp(p) in cur, so
+    flow(p) = warp(p) - p, known exactly at every pixel."""
+    ref, cur, warp = warped_texture_pair(rng, h, w, max_theta=0.15,
+                                         max_shift=10.0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    pts = np.stack([xx.reshape(-1), yy.reshape(-1)], -1)
+    proj = warp(pts)
+    flow = (proj - pts).reshape(h, w, 2).astype(np.float32)
+    return ref.astype(np.float32), cur.astype(np.float32), flow
+
+
+def make_pool(rng, n, h, w, batch):
+    pool = []
+    for _ in range(n):
+        refs, curs, flows = [], [], []
+        for _ in range(batch):
+            r, c, f = synthetic_flow_sample(rng, h, w)
+            refs.append(r[..., None])
+            curs.append(c[..., None])
+            flows.append(f)
+        pool.append((jnp.asarray(np.stack(refs)),
+                     jnp.asarray(np.stack(curs)),
+                     jnp.asarray(np.stack(flows))))
+    return pool
+
+
+def main(steps: int = 600, h: int = 128, w: int = 128, batch: int = 2,
+         iters: int = 8, seed: int = 0, log_every: int = 50,
+         eval_pairs: int = 16):
+    os.makedirs(WEIGHTS_DIR, exist_ok=True)
+    t0 = time.time()
+    cfg = RaftConfig(max_iterations=iters)
+    tcfg = RaftTrainConfig()
+    rng = np.random.default_rng(seed)
+
+    state = create_train_state(jax.random.PRNGKey(seed), cfg, tcfg,
+                               (batch, h, w, 1))
+    step = make_train_step(cfg, tcfg)
+
+    # Data pre-generated in one phase (tunnel program-cache discipline).
+    pool = make_pool(rng, min(steps, 150), h, w, batch)
+    for it in range(steps):
+        ref, cur, gt = pool[it % len(pool)]
+        state, metrics = step(state, ref, cur, gt)
+        if it % log_every == 0 or it == steps - 1:
+            print(f"[raft] step {it}: loss={float(metrics['loss']):.3f} "
+                  f"epe={float(metrics['epe']):.3f}", flush=True)
+
+    # Held-out evaluation at the FINAL refinement iteration.
+    model = Raft(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eval_rng = np.random.default_rng(seed + 1000)
+    epool = make_pool(eval_rng, eval_pairs // batch, h, w, batch)
+    agg = None
+    for ref, cur, gt in epool:
+        preds = model.apply(variables, ref, cur)
+        m = {k: float(v) for k, v in flow_metrics(preds[-1], gt).items()}
+        agg = m if agg is None else {k: agg[k] + m[k] for k in m}
+    agg = {k: round(v / len(epool), 4) for k, v in agg.items()}
+    agg["pairs"] = eval_pairs
+    agg["resolution"] = f"{w}x{h}"
+    agg["iterations"] = iters
+    agg["train_steps"] = steps
+    agg["wall_s"] = round(time.time() - t0, 1)
+    print("[raft] held-out:", json.dumps(agg), flush=True)
+
+    save_pytree(os.path.join(WEIGHTS_DIR, "raft.npz"),
+                {"params": state.params, "batch_stats": state.batch_stats})
+    mpath = os.path.join(WEIGHTS_DIR, "metrics.json")
+    metrics_all = {}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            metrics_all = json.load(f)
+    metrics_all["raft"] = agg
+    with open(mpath, "w") as f:
+        json.dump(metrics_all, f, indent=2)
+    return agg
+
+
+if __name__ == "__main__":
+    import sys
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = int(v)
+    main(**kw)

@@ -464,6 +464,209 @@ void ftk_klt_affine_fast_pyramid(
     }
 }
 
+// Direct photometric SE(3) pose tracker, DIRECT mode (reference
+// algorithm: src/direct_method_tracker/direct_method_tracker.cpp:35-192
+// as documented in SURVEY.md §2.1; float path mirrors
+// trackers/direct.py::_track_level). Joint Gauss-Newton over all feature
+// patches into ONE 6x6 system per iteration; additive position update and
+// left-multiplied small-angle quaternion update
+// (direct_method_tracker.cpp:179-185).
+void ftk_direct_method_pyramid(
+        const float** ref_imgs, const float** cur_imgs,
+        const int* hs, const int* ws, int levels,
+        const float* k4_full,      // fx, fy, cx, cy at full resolution
+        const float* p_ref,        // [n, 3] points in the reference frame
+        const float* ref_uv,       // [n, 2]
+        float* cur_uv,             // in: prediction; out: reprojection
+        float* q_rc,               // [4] (w, x, y, z) in/out
+        float* p_rc,               // [3] in/out
+        int8_t* status,            // [n] out
+        int n, int max_track_points,
+        int patch_half_r, int patch_half_c, int max_iter,
+        float max_converge_step) {
+    const int pr = 2 * patch_half_r + 1;
+    const int pc = 2 * patch_half_c + 1;
+    if (pr > kMaxPatch || pc > kMaxPatch || n > 4096) return;
+
+    Level ref_lv[16], cur_lv[16];
+    for (int l = 0; l < levels; ++l) {
+        ref_lv[l] = {ref_imgs[l], hs[l], ws[l]};
+        cur_lv[l] = {cur_imgs[l], hs[l], ws[l]};
+    }
+    const float coarse = 1.0f / static_cast<float>(1 << (levels - 1));
+    float q[4] = {q_rc[0], q_rc[1], q_rc[2], q_rc[3]};
+    float t[3] = {p_rc[0], p_rc[1], p_rc[2]};
+    const float eps_z = 1e-6f;
+
+    // Scratch: per-feature reference patches (per level).
+    static thread_local float refv[4096][kMaxPatch * kMaxPatch];
+    static thread_local bool okref[4096][kMaxPatch * kMaxPatch];
+
+    float sk[4] = {k4_full[0] * coarse, k4_full[1] * coarse,
+                   k4_full[2] * coarse, k4_full[3] * coarse};
+
+    auto rotate = [&](const float qq[4], const float v[3], float out[3]) {
+        // v + 2*(w*(u x v) + u x (u x v))
+        float ux = qq[1], uy = qq[2], uz = qq[3], w = qq[0];
+        float c1x = uy * v[2] - uz * v[1];
+        float c1y = uz * v[0] - ux * v[2];
+        float c1z = ux * v[1] - uy * v[0];
+        float c2x = uy * c1z - uz * c1y;
+        float c2y = uz * c1x - ux * c1z;
+        float c2z = ux * c1y - uy * c1x;
+        out[0] = v[0] + 2.0f * (w * c1x + c2x);
+        out[1] = v[1] + 2.0f * (w * c1y + c2y);
+        out[2] = v[2] + 2.0f * (w * c1z + c2z);
+    };
+
+    for (int lvl = levels - 1; lvl >= 0; --lvl) {
+        const Level& R = ref_lv[lvl];
+        const Level& C = cur_lv[lvl];
+        const float fx = sk[0], fy = sk[1], cx = sk[2], cy = sk[3];
+        const float lscale = coarse * static_cast<float>(1 << (levels - 1 - lvl));
+
+        // Reference patches at this level (const-weight, rigid offset).
+        for (int f = 0; f < n; ++f) {
+            float rx = ref_uv[2 * f] * lscale;
+            float ry = ref_uv[2 * f + 1] * lscale;
+            bool fin = std::isfinite(rx) && std::isfinite(ry);
+            Taps rt = make_taps(fin ? rx : 0.0f, fin ? ry : 0.0f);
+            int min_r = rt.r0 - pr / 2;
+            int min_c = rt.c0 - pc / 2;
+            for (int i = 0; i < pr; ++i)
+                for (int j = 0; j < pc; ++j) {
+                    bool ok = fin && tap_valid(min_r + i, min_c + j,
+                                               R.h, R.w);
+                    okref[f][i * pc + j] = ok;
+                    refv[f][i * pc + j] =
+                        ok ? sample(R, rt, min_r + i, min_c + j) : 0.0f;
+                }
+        }
+
+        bool done = false;
+        for (int it = 0; it < max_iter && !done; ++it) {
+            float hess[6][6] = {};
+            float bias[6] = {};
+            for (int f = 0; f < n && f < max_track_points; ++f) {
+                const float pf[3] = {p_ref[3 * f], p_ref[3 * f + 1],
+                                     p_ref[3 * f + 2]};
+                if (!(pf[2] >= eps_z)) continue;
+                // p_cur = R(q)^-1 (p_ref - t)
+                float d[3] = {pf[0] - t[0], pf[1] - t[1], pf[2] - t[2]};
+                float qc[4] = {q[0], -q[1], -q[2], -q[3]};
+                float pcur[3];
+                rotate(qc, d, pcur);
+                if (!(pcur[2] >= eps_z)) continue;
+                float u = fx * pcur[0] / pcur[2] + cx;
+                float v = fy * pcur[1] / pcur[2] + cy;
+                cur_uv[2 * f] = u;
+                cur_uv[2 * f + 1] = v;
+
+                if (!(std::isfinite(u) && std::isfinite(v))) continue;
+                // 2x6 d(pixel)/d(xi) from the REFERENCE-frame point
+                // (direct_method_tracker.cpp:148-151).
+                float zi = 1.0f / pf[2];
+                float zi2 = zi * zi;
+                float X = pf[0], Y = pf[1];
+                float j0[6] = {fx * zi, 0.0f, -fx * X * zi2,
+                               -fx * X * Y * zi2, fx + fx * X * X * zi2,
+                               -fx * Y * zi};
+                float j1[6] = {0.0f, fy * zi, -fy * Y * zi2,
+                               -fy - fy * Y * Y * zi2, fy * X * Y * zi2,
+                               fy * X * zi};
+
+                Taps ct = make_taps(u, v);
+                int min_r = ct.r0 - pr / 2;
+                int min_c = ct.c0 - pc / 2;
+                for (int i = 0; i < pr; ++i) {
+                    for (int j = 0; j < pc; ++j) {
+                        int rr = min_r + i, cc = min_c + j;
+                        if (!okref[f][i * pc + j]) continue;
+                        if (!tap_valid(rr, cc, C.h, C.w)) continue;
+                        // 0.5-scaled central differences of the CURRENT
+                        // image with per-shift validity.
+                        if (!(tap_valid(rr, cc - 1, C.h, C.w)
+                              && tap_valid(rr, cc + 1, C.h, C.w)
+                              && tap_valid(rr - 1, cc, C.h, C.w)
+                              && tap_valid(rr + 1, cc, C.h, C.w)))
+                            continue;
+                        float cv = sample(C, ct, rr, cc);
+                        float gx = 0.5f * (sample(C, ct, rr, cc + 1)
+                                           - sample(C, ct, rr, cc - 1));
+                        float gy = 0.5f * (sample(C, ct, rr + 1, cc)
+                                           - sample(C, ct, rr - 1, cc));
+                        float res = cv - refv[f][i * pc + j];
+                        float jrow[6];
+                        for (int a = 0; a < 6; ++a)
+                            jrow[a] = gx * j0[a] + gy * j1[a];
+                        for (int a = 0; a < 6; ++a) {
+                            bias[a] += res * jrow[a];
+                            for (int b = 0; b <= a; ++b)
+                                hess[a][b] += jrow[a] * jrow[b];
+                        }
+                    }
+                }
+            }
+            for (int a = 0; a < 6; ++a)
+                for (int b = a + 1; b < 6; ++b)
+                    hess[a][b] = hess[b][a];
+            float dx[6];
+            chol_solve<6>(hess, bias, dx);
+            bool isnan = false;
+            float sq = 0.0f;
+            for (int a = 0; a < 6; ++a) {
+                isnan = isnan || std::isnan(dx[a]);
+                sq += dx[a] * dx[a];
+            }
+            if (!isnan) {
+                t[0] += dx[0];
+                t[1] += dx[1];
+                t[2] += dx[2];
+                float dq[4] = {1.0f, 0.5f * dx[3], 0.5f * dx[4],
+                               0.5f * dx[5]};
+                float nrm = std::sqrt(dq[0] * dq[0] + dq[1] * dq[1]
+                                      + dq[2] * dq[2] + dq[3] * dq[3]);
+                for (int a = 0; a < 4; ++a) dq[a] /= nrm;
+                float nq[4] = {
+                    dq[0] * q[0] - dq[1] * q[1] - dq[2] * q[2]
+                        - dq[3] * q[3],
+                    dq[0] * q[1] + dq[1] * q[0] + dq[2] * q[3]
+                        - dq[3] * q[2],
+                    dq[0] * q[2] - dq[1] * q[3] + dq[2] * q[0]
+                        + dq[3] * q[1],
+                    dq[0] * q[3] + dq[1] * q[2] - dq[2] * q[1]
+                        + dq[3] * q[0]};
+                float qn = std::sqrt(nq[0] * nq[0] + nq[1] * nq[1]
+                                     + nq[2] * nq[2] + nq[3] * nq[3]);
+                for (int a = 0; a < 4; ++a) q[a] = nq[a] / qn;
+            }
+            done = isnan || sq < max_converge_step;
+        }
+
+        if (lvl > 0) {
+            sk[0] *= 2.0f;
+            sk[1] *= 2.0f;
+            sk[2] *= 2.0f;
+            sk[3] *= 2.0f;
+        }
+    }
+
+    const int h0 = hs[0], w0 = ws[0];
+    for (int f = 0; f < n; ++f) {
+        float u = cur_uv[2 * f], v = cur_uv[2 * f + 1];
+        status[f] = (u < 0.0f || u > static_cast<float>(w0 - 1)
+                     || v < 0.0f || v > static_cast<float>(h0 - 1))
+                        ? kOutside : kTracked;
+    }
+    q_rc[0] = q[0];
+    q_rc[1] = q[1];
+    q_rc[2] = q[2];
+    q_rc[3] = q[3];
+    p_rc[0] = t[0];
+    p_rc[1] = t[1];
+    p_rc[2] = t[2];
+}
+
 // SE(2) (LSSD) fast-mode pyramidal KLT (reference algorithm:
 // src/optical_flow_tracker/lssd_klt/optical_flow_lssd_klt_fast.cpp as
 // documented in SURVEY.md §2.1; float path mirrors
