@@ -152,7 +152,11 @@ def _pack_maps(maps):
     p = p.at[..., 8:8 + k].set(jnp.moveaxis(right, 0, -1))
     p = p.at[..., 16:16 + k].set(jnp.moveaxis(down, 0, -1))
     p = p.at[..., 24:24 + k].set(jnp.moveaxis(down_r, 0, -1))
-    return p.reshape(h * w, 32)
+    # bf16 table halves the gather bytes (the iteration's wall): ~0.4%
+    # relative tap noise, far below the solver's damping floor
+    # (lambda = 0.1 tr + 1) and the test tolerances; the blend and all
+    # solver math stay f32.
+    return p.reshape(h * w, 32).astype(jnp.bfloat16)
 
 
 def _interp_maps_packed(packed, k, h, w, r, c):
@@ -165,7 +169,8 @@ def _interp_maps_packed(packed, k, h, w, r, c):
     fr = (r - r0)[..., None]
     fc = (c - c0)[..., None]
     flat_t = (r0 * w + c0).reshape(-1)
-    quad = jnp.take(packed, flat_t, axis=0).reshape(*r.shape, 32)
+    quad = jnp.take(packed, flat_t, axis=0).reshape(
+        *r.shape, 32).astype(jnp.float32)
     vals = ((1 - fr) * (1 - fc) * quad[..., :k]
             + (1 - fr) * fc * quad[..., 8:8 + k]
             + fr * (1 - fc) * quad[..., 16:16 + k]
@@ -179,6 +184,10 @@ def _track_single(opts: DenseFlowOptions, ref_img, cur_img, init_flow):
     g1, k2, k4, k22 = _kernel_moments(half)
     m_ref = _moments(ref_img, half, g1)
     m_cur = _moments(cur_img, half, g1)
+    # Both frames' moments go through the SAME bf16 rounding as the
+    # packed gather table, so identical images yield identically-zero
+    # b1-b2 (zero flow stays exactly zero); see _pack_maps.
+    m_ref = m_ref.astype(jnp.bfloat16).astype(jnp.float32)
     a1, bq1, c1, br1, bc1 = _poly_coeffs(m_ref, k2, k4, k22)
 
     h, w = ref_img.shape
