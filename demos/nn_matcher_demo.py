@@ -75,6 +75,37 @@ def main():
     save_png(path, canvas)
     report_info(f"Wrote {path}")
 
+    # DISK-descriptor variant (the reference's disk_lightglue family,
+    # nn_feature_matcher.h:16-21) when both weight files exist.
+    from feature_tracker_tpu.models.disk import DiskDetector
+    disk_det = DiskDetector.from_file(max_features=MAX_FEATURES)
+    disk_opts = NNMatcherOptions(
+        max_number_of_matches=MAX_FEATURES,
+        min_valid_match_score=math.log(0.03),
+        model_type=NNMatcherModelType.LIGHTGLUE_DISK_SCORE_MAT,
+        depth=9)
+    disk_matcher = (NNFeatureMatcher.from_file(disk_opts)
+                    if disk_det is not None else None)
+    if disk_det is None or disk_matcher is None:
+        report_info("DISK+LightGlue variant skipped (weights absent).")
+        return
+    timer.tock_tick_ms()
+    ruv, rd, nr = disk_det.detect(jnp.asarray(ref))
+    cuv, cd, nc = disk_det.detect(jnp.asarray(cur))
+    m0 = jnp.arange(MAX_FEATURES) < nr
+    m1 = jnp.arange(MAX_FEATURES) < nc
+    muv, st = disk_matcher.match(rd, cd, ruv, cuv, m0, m1)
+    st = np.array(st)
+    st[~np.asarray(m0)] = int(TrackStatus.NOT_TRACKED)
+    tracked = int((st == int(TrackStatus.TRACKED)).sum())
+    report_info(f"DISK+LightGlue matched {tracked} / {int(nr)} features "
+                f"in {timer.tock_tick_ms():.0f} ms (incl. compile).")
+    canvas = render_matches(ref, cur, np.asarray(ruv), np.asarray(muv),
+                            st)
+    path = _common.out_path("nn_matcher_lightglue_disk.png")
+    save_png(path, canvas)
+    report_info(f"Wrote {path}")
+
 
 if __name__ == "__main__":
     main()

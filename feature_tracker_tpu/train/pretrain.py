@@ -281,9 +281,14 @@ def _detector_nll(heat, labels):
     return jnp.sum(nll * wgt) / jnp.sum(wgt)
 
 
-def _make_sp_step(model, tx, hc, wc):
+def _make_sp_step(model, tx, hc, wc, desc_temp: float = 0.1,
+                  det_weight: float = 1.0):
     """Jitted joint detector+descriptor train step (shared between the
-    initial training and the homographic-adaptation rounds)."""
+    initial training and the adaptation rounds). ``desc_temp`` is the
+    InfoNCE temperature (lower pulls positive pairs tighter — the demo
+    protocol thresholds cosine distance at 0.1, and the round-2
+    descriptors' positive distances straddled it); ``det_weight`` scales
+    the detector NLL against the descriptor loss."""
 
     @jax.jit
     def step(params, opt_state, imgs_a, imgs_b, labels_a, labels_b,
@@ -300,13 +305,13 @@ def _make_sp_step(model, tx, hc, wc):
             db = desc_b.reshape(desc_b.shape[0], hc * wc, -1)
             da = da / jnp.linalg.norm(da, axis=-1, keepdims=True)
             db = db / jnp.linalg.norm(db, axis=-1, keepdims=True)
-            sim = jnp.einsum("bnd,bmd->bnm", da, db) / 0.1
+            sim = jnp.einsum("bnd,bmd->bnm", da, db) / desc_temp
             ll = jax.nn.log_softmax(sim, axis=-1)
             pos = jnp.take_along_axis(ll, cell_b_of_a[..., None],
                                       axis=-1)[..., 0]
             desc_loss = -jnp.sum(pos * cell_valid) / jnp.maximum(
                 jnp.sum(cell_valid), 1.0)
-            return det + desc_loss, (det, desc_loss)
+            return det_weight * det + desc_loss, (det, desc_loss)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn,
                                                 has_aux=True)(params)
@@ -416,7 +421,8 @@ def train_superpoint(steps: int = 1500, h: int = 96, w: int = 96,
 def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
                      h: int = 96, w: int = 96, batch: int = 4,
                      seed: int = 11, n_warps: int = 8,
-                     pool_size: int = 360, log_every: int = 200):
+                     pool_size: int = 360, log_every: int = 200,
+                     desc_temp: float = 0.1, det_weight: float = 1.0):
     """Viewpoint-adaptation training for SuperPoint (VERDICT r2 item 3):
     detector labels come from MULTI-WARP-STABLE HARRIS points
     (harris_adaptation_points — detections that persist across random
@@ -436,7 +442,8 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(1e-4, weight_decay=1e-5))
     hc, wc = h // 8, w // 8
-    step = _make_sp_step(model, tx, hc, wc)
+    step = _make_sp_step(model, tx, hc, wc, desc_temp=desc_temp,
+                         det_weight=det_weight)
     rng = np.random.default_rng(seed)
     history = []
 
@@ -688,8 +695,37 @@ def reference_pair_match_count(detector, cap=300, max_valid=0.1):
     return int((np.asarray(st) == 1).sum())
 
 
+def reference_pair_lightglue_count(detector, model, params, cap=250):
+    """LightGlue mutual-argmax match count on the reference pair (the
+    nn_matcher demo protocol: 250 keypoints, score >= log(0.03))."""
+    from feature_tracker_tpu.models.lightglue import mutual_argmax_matches
+    base = "/root/reference/example/optical_flow/"
+    try:
+        from PIL import Image
+        ref = np.asarray(Image.open(base + "ref_image.png").convert("L"),
+                         np.float32)
+        cur = np.asarray(Image.open(base + "cur_image.png").convert("L"),
+                         np.float32)
+    except Exception:
+        return -1
+    old_cap = detector.max_features
+    detector.max_features = cap
+    try:
+        ruv, rd, nr = detector.detect(jnp.asarray(ref))
+        cuv, cd, nc = detector.detect(jnp.asarray(cur))
+    finally:
+        detector.max_features = old_cap
+    m0 = jnp.arange(cap) < nr
+    m1 = jnp.arange(cap) < nc
+    scores, _, _ = model.apply(params, ruv[:cap], rd[:cap], m0,
+                               cuv[:cap], cd[:cap], m1)
+    pred = np.asarray(mutual_argmax_matches(scores, float(np.log(0.03))))
+    return int((pred[: int(nr)] >= 0).sum())
+
+
 def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
-         adapt_steps=800, reuse=0, lg_only=0):
+         adapt_steps=800, reuse=0, lg_only=0, adapt_seed=11,
+         desc_temp_milli=100, det_weight_pct=100):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -723,9 +759,10 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
                                    min_response=0.01))
             print(f"[superpoint] pre-adapt reference-pair count: "
                   f"{prev_count}", flush=True)
-        new_params, ahist = adapt_superpoint(sp_model, sp_params,
-                                             rounds=adapt_rounds,
-                                             steps=adapt_steps)
+        new_params, ahist = adapt_superpoint(
+            sp_model, sp_params, rounds=adapt_rounds, steps=adapt_steps,
+            seed=adapt_seed, desc_temp=desc_temp_milli / 1000.0,
+            det_weight=det_weight_pct / 100.0)
         new_count = reference_pair_match_count(
             SuperPointDetector(new_params, max_features=300,
                                min_response=0.01))
@@ -768,6 +805,10 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
         metrics["lightglue"] = lg_hist[-1]
         metrics["heldout"] = evaluate_matching(sp_det, lg_model,
                                                lg_params)
+        metrics["lightglue_reference_pair"] = (
+            reference_pair_lightglue_count(sp_det, lg_model, lg_params))
+        print(f"[lightglue] reference-pair matches: "
+              f"{metrics['lightglue_reference_pair']}/250", flush=True)
 
         # DISK-descriptor LightGlue variant (reference families
         # nn_feature_matcher.h:16-21); trained on the stronger detector.
@@ -782,6 +823,12 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
             metrics["lightglue_disk"] = lgd_hist[-1]
             metrics["heldout_disk"] = evaluate_matching(
                 disk_det, lgd_model, lgd_params)
+            metrics["lightglue_disk_reference_pair"] = (
+                reference_pair_lightglue_count(disk_det, lgd_model,
+                                               lgd_params))
+            print(f"[lightglue-disk] reference-pair matches: "
+                  f"{metrics['lightglue_disk_reference_pair']}/250",
+                  flush=True)
     metrics["wall_s"] = round(time.time() - t0, 1)
     with open(mpath, "w") as f:
         json.dump(metrics, f, indent=2)
