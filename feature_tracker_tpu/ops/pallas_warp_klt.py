@@ -58,44 +58,6 @@ def _split2(x):
     return hi, lo
 
 
-def _colsum(x, precise: bool):
-    """Lane reduction ``[R, C] -> [R, 1]`` as a split matmul with an
-    exact ones vector: the VPU's log-step lane reduce costs ~C/128 x 7+
-    issues on flat-P tiles, the MXU pipeline does it in 2 issues."""
-    if precise:
-        # Interpret/parity path: keep jnp.sum's reduction order so the
-        # kernel-vs-jnp tests compare identical arithmetic.
-        return jnp.sum(x, axis=1, keepdims=True)
-    ones = jnp.ones((x.shape[1], 1), jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    xh, xl = _split2(x)
-    return (jax.lax.dot_general(xh, ones, dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(xl, ones, dn,
-                                  preferred_element_type=jnp.float32))
-
-
-def _rowsum_stack(cols, precise: bool):
-    """Reduce a list of ``[P, 1]`` integrand columns over P in ONE split
-    matmul: lane-concat into ``[P, K]`` (offset-0 single-lane values pack
-    into one tile) and left-multiply by ones ``[1, P]``. Returns the
-    ``[1, K]`` sums — callers extract scalars (measured cheap). Replaces
-    K separate jnp.sum sublane-reduce chains (~22 issues each on flat-P
-    tiles)."""
-    if precise:
-        # Interpret/parity path: per-column jnp.sum keeps the reduction
-        # order the kernel-vs-jnp tests expect.
-        return jnp.stack([jnp.sum(c) for c in cols])[None, :]
-    x = jnp.concatenate(cols, axis=1)                      # [P, K]
-    ones = jnp.ones((1, x.shape[0]), jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    xh, xl = _split2(x)
-    return (jax.lax.dot_general(ones, xh, dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(ones, xl, dn,
-                                  preferred_element_type=jnp.float32))
-
-
 def _xdot(a, b, dims, precise: bool):
     """dot_general with either exact f32 (interpret / parity paths) or a
     3-pass split-bf16 product (compiled TPU path): hi/lo decomposition of
@@ -215,7 +177,7 @@ class _Sampler:
         # compiled path uses the 3-pass split product (exact f32 in
         # interpret mode).
         t = _xdot(rw, window, ((1,), (0,)), self.precise)
-        val = _colsum(t * cw, self.precise)
+        val = jnp.sum(t * cw, axis=1, keepdims=True)
 
         fx = jnp.floor(pos_x)
         fy = jnp.floor(pos_y)
@@ -372,16 +334,13 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
             x0 = smp.offx + x_ent
             y0 = smp.offy + y_ent
             j6 = [x0 * dx, x0 * dy, y0 * dx, y0 * dy, dx, dy]
-            # All 21 upper-triangle H sums in ONE stacked matmul-reduce.
-            h_cols = [j6[i] * j6[j] for i in range(6) for j in range(i + 1)]
-            h_row = _rowsum_stack(h_cols, precise)
-            hess = [[None] * 6 for _ in range(6)]
-            ci = 0
+            hess = [[jnp.sum(j6[i] * j6[j]) * dvec[i] * dvec[j]
+                     for j in range(i + 1)] for i in range(6)]
             for i in range(6):
-                for j in range(i + 1):
-                    hess[i][j] = h_row[0, ci] * dvec[i] * dvec[j]
-                    hess[j][i] = hess[i][j]
-                    ci += 1
+                hess[i] += [None] * (5 - i)
+            for i in range(6):
+                for j in range(i + 1, 6):
+                    hess[i][j] = hess[j][i]
 
             no_pixels = n_ref == 0
 
@@ -396,18 +355,14 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                 dt = jnp.where(valid, curv - inner, 0.0)
                 xw = jnp.where(valid, wx, 0.0)
                 yw = jnp.where(valid, wy, 0.0)
-                # 6 bias sums + the valid count in ONE matmul-reduce.
-                dtdx = dt * dx
-                dtdy = dt * dy
-                b_row = _rowsum_stack(
-                    [dtdx * xw, dtdy * xw, dtdx * yw, dtdy * yw, dtdx,
-                     dtdy, valid.astype(jnp.float32)], precise)
-                b = [-b_row[0, i] for i in range(6)]
+                b = [-jnp.sum(dt * xw * dx), -jnp.sum(dt * xw * dy),
+                     -jnp.sum(dt * yw * dx), -jnp.sum(dt * yw * dy),
+                     -jnp.sum(dt * dx), -jnp.sum(dt * dy)]
                 w = _chol_solve(hess, [b[i] * dvec[i] for i in range(6)])
                 z = [w[i] * dvec[i] for i in range(6)]
                 vx = z[0] * x + z[2] * y + z[4]
                 vy = z[1] * x + z[3] * y + z[5]
-                num_valid = b_row[0, 6].astype(jnp.int32)
+                num_valid = jnp.sum(valid.astype(jnp.int32))
                 upd, status, last_sq, cnt, done = _advance(
                     done, status, last_sq, cnt, [vx, vy], num_valid, opts)
                 return (jnp.where(upd, x + vx, x),
@@ -484,11 +439,9 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                 curv, okcur = smp.sample(window, wr0, wc0, wx, wy)
                 cur_patch = curv
                 if luminance:
-                    lum_row = _rowsum_stack(
-                        [okcur.astype(jnp.float32),
-                         jnp.where(in11, cur_patch, 0.0)], precise)
-                    cur_mean = (lum_row[0, 1]
-                                / jnp.maximum(lum_row[0, 0], 1.0))
+                    n_cur = jnp.sum(okcur.astype(jnp.float32))
+                    cur_mean = (jnp.sum(jnp.where(in11, cur_patch, 0.0))
+                                / jnp.maximum(n_cur, 1.0))
                     cur_patch = cur_patch / cur_mean
                 valid = okcur & inner_valid
                 residual = jnp.where(valid, cur_patch - inner, 0.0)
@@ -497,21 +450,16 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                 jtheta = jnp.where(valid, dx * jt_x + dy * jt_y, 0.0)
                 jdx = jnp.where(valid, dx, 0.0)
                 jdy = jnp.where(valid, dy, 0.0)
-                # 6 H terms + 3 bias terms + the valid count in ONE
-                # stacked matmul-reduce.
-                row = _rowsum_stack(
-                    [jtheta * jtheta, jdx * jtheta, jdx * jdx,
-                     jdy * jtheta, jdy * jdx, jdy * jdy,
-                     jtheta * residual, jdx * residual, jdy * residual,
-                     valid.astype(jnp.float32)], precise)
-                hess = [[row[0, 0]],
-                        [row[0, 1], row[0, 2]],
-                        [row[0, 3], row[0, 4], row[0, 5]]]
+                hess = [[jnp.sum(jtheta * jtheta)],
+                        [jnp.sum(jdx * jtheta), jnp.sum(jdx * jdx)],
+                        [jnp.sum(jdy * jtheta), jnp.sum(jdy * jdx),
+                         jnp.sum(jdy * jdy)]]
                 h3 = [[hess[max(i, j)][min(i, j)] for j in range(3)]
                       for i in range(3)]
-                b = [-row[0, 6], -row[0, 7], -row[0, 8]]
+                b = [-jnp.sum(jtheta * residual), -jnp.sum(jdx * residual),
+                     -jnp.sum(jdy * residual)]
                 v = _chol_solve(h3, b)
-                num_valid = row[0, 9].astype(jnp.int32)
+                num_valid = jnp.sum(valid.astype(jnp.int32))
                 upd, status, last_sq, cnt, done = _advance(
                     done, status, last_sq, cnt, v, num_valid, opts)
                 # rot @ [[1, -v0], [v0, 1]], then whole-matrix division by
