@@ -30,6 +30,36 @@ def main():
     report_info(f"RAFT forward {stats['mean_ms']:.2f} ms/call steady state "
                 f"({stats['compile_ms']:.0f} ms first call).")
 
+    # Trained-weights accuracy check (weights/raft.npz from
+    # train/raft_pretrain.py): EPE on a fresh synthetic-flow pair.
+    import os
+
+    from feature_tracker_tpu.utils.weights import load_pytree, weights_path
+    wpath = weights_path("raft.npz")
+    if not os.path.exists(wpath):
+        report_info("No trained RAFT weights "
+                    "(run train/raft_pretrain.py); skipping EPE check.")
+        return
+    tcfg = RaftConfig(max_iterations=8)
+    tmodel = Raft(tcfg)
+    from feature_tracker_tpu.train.raft_pretrain import (
+        synthetic_flow_sample,
+    )
+    like_img = jnp.zeros((1, 128, 128, 1), jnp.float32)
+    like = tmodel.init(jax.random.PRNGKey(0), like_img, like_img)
+    trained = load_pytree(wpath, {"params": like["params"],
+                                  "batch_stats": like.get("batch_stats",
+                                                          {})})
+    rimg, cimg, gt = synthetic_flow_sample(np.random.default_rng(77),
+                                           128, 128)
+    preds = tmodel.apply(trained, jnp.asarray(rimg)[None, ..., None],
+                         jnp.asarray(cimg)[None, ..., None])
+    epe = float(jnp.mean(jnp.linalg.norm(
+        preds[-1][0] - jnp.asarray(gt), axis=-1)))
+    report_info(f"Trained RAFT EPE on a fresh synthetic pair: "
+                f"{epe:.2f} px (gt mean magnitude "
+                f"{float(np.linalg.norm(gt, axis=-1).mean()):.2f} px).")
+
 
 if __name__ == "__main__":
     main()

@@ -34,6 +34,10 @@ class RaftTrainConfig:
     weight_decay: float = 1e-5
     clip_norm: float = 1.0
     gamma: float = 0.8  # per-iteration loss decay (RAFT paper)
+    # One-cycle schedule over this many steps (0 = constant lr). RAFT's
+    # published recipe uses a one-cycle triangular schedule.
+    schedule_steps: int = 0
+    warmup_frac: float = 0.05
 
 
 class TrainState(struct.PyTreeNode):
@@ -44,9 +48,18 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: RaftTrainConfig):
+    if cfg.schedule_steps > 0:
+        warm = max(1, int(cfg.schedule_steps * cfg.warmup_frac))
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, warm),
+             optax.cosine_decay_schedule(cfg.learning_rate,
+                                         cfg.schedule_steps - warm)],
+            [warm])
+    else:
+        lr = cfg.learning_rate
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_norm),
-        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+        optax.adamw(lr, weight_decay=cfg.weight_decay),
     )
 
 

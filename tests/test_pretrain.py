@@ -88,3 +88,23 @@ def test_from_file_loaders():
         m = NNFeatureMatcher.from_file(
             NNMatcherOptions(max_number_of_matches=64, depth=9))
         assert m is not None and m.variables is not None
+
+
+def test_from_file_disk_lightglue_variant():
+    """The DISK-descriptor matcher variant resolves its own weights file
+    (lightglue_disk.npz) with the 128-d architecture."""
+    from feature_tracker_tpu.match.nn_matcher import (
+        NNFeatureMatcher,
+        NNMatcherModelType,
+        NNMatcherOptions,
+    )
+    from feature_tracker_tpu.utils.weights import has_weights
+
+    opts = NNMatcherOptions(
+        max_number_of_matches=64,
+        model_type=NNMatcherModelType.LIGHTGLUE_DISK_SCORE_MAT, depth=9)
+    if not has_weights("lightglue_disk.npz"):
+        assert NNFeatureMatcher.from_file(opts) is None
+        return
+    m = NNFeatureMatcher.from_file(opts)
+    assert m is not None and m.cfg.descriptor_dim == 128
