@@ -90,6 +90,7 @@ from feature_tracker_tpu.ops.pallas_warp_klt import (
     _advance,
     _round8,
     _smem_vec,
+    _split2,
     _status0,
     _xdot,
 )
@@ -231,12 +232,73 @@ class _RigidSampler:
         u_all = _xdot(wins_all, cw_all, ((1,), (1,)), self.precise)
         return u_all, loads, stride
 
+    def stacked_row_weights_t(self, ly0_list, ci_lo_list, ci_hi_list):
+        """Block-diagonal transposed row hat weights for B features:
+        W[16k + i, win_r*k + r] = hat(ly0_k + i - r) for i in the
+        cur-validity row range [ci_lo_k, ci_hi_k], zero elsewhere (incl.
+        off-diagonal blocks and pad rows i >= pr, since ci_hi <= pr-1).
+        One [16B, win_r*B] build feeds ONE stacked contraction with the
+        stacked window samples, replacing B separate row matmuls; the
+        folded i-mask makes the contraction output exactly the
+        row-masked sampled patch (and, against a ones column, the exact
+        0/1 row-mask vector)."""
+        b = len(ly0_list)
+        rows, cols = 16 * b, self.win_r * b
+        gi = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        k = gi >> 4
+        r0 = k * self.win_r
+        ly0 = ly0_list[0]
+        lo = ci_lo_list[0]
+        hi = ci_hi_list[0]
+        for kk in range(1, b):
+            sel = k >= kk
+            ly0 = jnp.where(sel, ly0_list[kk], ly0)
+            lo = jnp.where(sel, ci_lo_list[kk], lo)
+            hi = jnp.where(sel, ci_hi_list[kk], hi)
+        ii = gi & 15
+        rloc = gr - r0
+        w = jnp.maximum(
+            0.0, 1.0 - jnp.abs(ly0 + ii.astype(jnp.float32)
+                               - rloc.astype(jnp.float32)))
+        ok = ((rloc >= 0) & (rloc < self.win_r) & (ii >= lo) & (ii <= hi))
+        return jnp.where(ok, w, 0.0)
+
 
 BATCH = 4  # interleaved per-feature GN chains per while_loop
 
 
+def _eye_place(pc: int, lane0: int, lanes: int):
+    """Static [pc, lanes] 0/1 placement matrix: column j -> lane
+    lane0 + j. A split-exact matmul against it re-materializes a block
+    at the target lane offset with CANONICAL layout (a direct
+    lane-offset concat of values is rejected by Mosaic)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (pc, lanes), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (pc, lanes), 1)
+    return (c == r + lane0).astype(jnp.float32)
+
+
+def _place_exact(arr, eye, precise: bool):
+    """arr @ eye with f32-exact arithmetic: HIGHEST on the parity path,
+    2-pass hi/lo split on the compiled path (eye is 0/1, exact in bf16;
+    hi + lo reproduces arr to f32 rounding)."""
+    dn = (((1,), (0,)), ((), ()))
+    if precise:
+        return jax.lax.dot_general(arr, eye, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    hi, lo = _split2(arr)
+    eh = eye.astype(jnp.bfloat16)
+
+    def d(p):
+        return jax.lax.dot_general(p, eh, dn,
+                                   preferred_element_type=jnp.float32)
+
+    return d(hi) + d(lo)
+
+
 def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
-            precise: bool, use_identity: bool):
+            precise: bool, bias_mode: str):
     levels = len(shapes)
     ref_imgs = refs[:levels]
     cur_imgs = refs[levels:2 * levels]
@@ -296,14 +358,9 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         # [pr, 64] block (16-lane stride keeps every read-back slice
         # tile-aligned), plus the reference-validity rectangle bounds in
         # patch coordinates (scalars) for the closed-form valid count.
-        # Only built on the identity path, whose 16-lane block layout
-        # requires patch rows/cols <= 16 (checked at trace time).
-        if use_identity:
-            pc = smp.pc
-            zcol = jnp.zeros((smp.pr, 16 - pc), jnp.float32)
-            d_aug = jnp.concatenate(
-                [dx, zcol, dy, zcol, dx * inner, zcol, dy * inner, zcol],
-                axis=1)                                       # [pr, 64]
+        # Only built on the identity/qdt paths, whose 16-lane block
+        # layouts require patch rows/cols <= 16 (checked at trace time).
+        if bias_mode != "slow":
             rmin_r = jnp.floor(ry).astype(jnp.int32) - smp.pr // 2
             rmin_c = jnp.floor(rx).astype(jnp.int32) - smp.pc // 2
             ref_rect = (jnp.maximum(0, -rmin_r),
@@ -311,7 +368,15 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                         jnp.maximum(0, -rmin_c),
                         jnp.minimum(smp.pc - 1, smp.img_w - 2 - rmin_c))
         else:
-            d_aug, ref_rect = None, None
+            ref_rect = None
+        if bias_mode == "identity":
+            pc = smp.pc
+            zcol = jnp.zeros((smp.pr, 16 - pc), jnp.float32)
+            d_aug = jnp.concatenate(
+                [dx, zcol, dy, zcol, dx * inner, zcol, dy * inner, zcol],
+                axis=1)                                       # [pr, 64]
+        else:
+            d_aug = None
         return (inner, inner_valid, dx, dy, (h00, h01, h11, det),
                 n_ref == 0, d_aug, ref_rect)
 
@@ -343,6 +408,35 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         setups = [ref_setup(lvl, rxs[k], rys[k], ex_patches[k])
                   for k in range(b)]
 
+        if bias_mode == "qdt":
+            # Lane-place each feature's (dx, dy, inner) at lanes
+            # [16k, 16k+pc) via ONE exact split matmul per feature
+            # (amortized over every iteration of the level). The
+            # outputs are canonical-layout, so the row concats below
+            # are legal.
+            dxs, dys, inns = [], [], []
+            for k in range(b):
+                inner, _, dx, dy = setups[k][:4]
+                ek = _eye_place(smp.pc, 16 * k, 16 * b)
+                placed = _place_exact(
+                    jnp.concatenate([dx, dy, inner], axis=0), ek,
+                    precise)                            # [3*pr, 16b]
+                dxs.append(placed[:smp.pr])
+                dys.append(placed[smp.pr:2 * smp.pr])
+                inns.append(placed[2 * smp.pr:])
+            # Row blocks sit at a 16-row stride: pad each feature's
+            # pr-row block with zeros up to 16.
+            def cat16(blocks):
+                if smp.pr == 16:
+                    return jnp.concatenate(blocks, axis=0)
+                zrow = jnp.zeros((16 - smp.pr, 16 * b), jnp.float32)
+                return jnp.concatenate(
+                    [v for blk in blocks for v in (blk, zrow)], axis=0)
+
+            dx_p = cat16(dxs)                           # [16b, 16b]
+            dy_p = cat16(dys)
+            inner_p = cat16(inns)
+
         def slow_bias(k, cwin, cwr0, cwc0, x, y):
             """Masked-patch bias (reference semantics near borders)."""
             inner, inner_valid, dx, dy = setups[k][:4]
@@ -354,10 +448,89 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
 
         wr = smp.win_r
 
+        def advance_all(pre):
+            out = []
+            for k in range(b):
+                (x, y, status, last_sq, cnt, done, num_valid,
+                 b0, b1) = pre[k]
+                (h00, h01, h11, det) = setups[k][4]
+                # Closed-form 2x2 solve (LDLT equivalent).
+                vx = (h11 * b0 - h01 * b1) / det
+                vy = (h00 * b1 - h01 * b0) / det
+                upd, status, last_sq, cnt, done = _advance(
+                    done, status, last_sq, cnt, [vx, vy], num_valid, opts)
+                out.extend([jnp.where(upd, x + vx, x),
+                            jnp.where(upd, y + vy, y),
+                            status, last_sq, cnt, done])
+            return tuple(out)
+
+        def qdt_pre(carry, xs_c, ys_c, u_all, loads):
+            """The q/dt-fold bias for the whole batch (round 3): ONE
+            stacked block-diagonal contraction produces every feature's
+            row-masked sampled patch q (and, against an appended ones
+            column, the exact 0/1 row-mask — hat weights are a partition
+            of unity over the covered window, so the masked build's row
+            sums are exactly the cur-validity indicator). The residual
+            dt = q - inner*rowmask is small-magnitude (no catastrophic
+            cancellation), and both bias scalars fall out of two
+            elementwise products + stacked sublane reduces + static
+            16-lane slice sums. Replaces the per-feature trace-identity
+            a-matmul (3 split passes each) and its 4 full-tile sums."""
+            ly0s, ci_los, ci_his, rects = [], [], [], []
+            for k in range(b):
+                x, y = xs_c[k], ys_c[k]
+                min_r = jnp.floor(y).astype(jnp.int32) - smp.pr // 2
+                min_c = jnp.floor(x).astype(jnp.int32) - smp.pc // 2
+                ci_lo = jnp.maximum(0, -min_r)
+                ci_hi = jnp.minimum(smp.pr - 1, smp.img_h - 2 - min_r)
+                cj_lo = jnp.maximum(0, -min_c)
+                cj_hi = jnp.minimum(smp.pc - 1, smp.img_w - 2 - min_c)
+                ly0s.append(y - smp.pr // 2
+                            - loads[k][1].astype(jnp.float32))
+                ci_los.append(ci_lo)
+                ci_his.append(ci_hi)
+                rects.append((ci_lo, ci_hi, cj_lo, cj_hi))
+            rwtt = smp.stacked_row_weights_t(ly0s, ci_los, ci_his)
+            ones_col = jnp.ones((b * smp.win_r, 1), jnp.float32)
+            u_aug = jnp.concatenate([u_all, ones_col], axis=1)
+            q_aug = _xdot(rwtt, u_aug, ((1,), (0,)), precise)
+            rowm = q_aug[:, 16 * b:16 * b + 1]          # [16b, 1]
+            qv = q_aug[:, :16 * b]                      # [16b, 16b]
+            dtm = qv - inner_p * rowm
+            cs0 = jnp.sum(dx_p * dtm, axis=0, keepdims=True)
+            cs1 = jnp.sum(dy_p * dtm, axis=0, keepdims=True)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16 * b), 1)
+            kk = lane >> 4
+            jj = lane & 15
+            lo = rects[0][2]
+            hi = rects[0][3]
+            for k2 in range(1, b):
+                lo = jnp.where(kk >= k2, rects[k2][2], lo)
+                hi = jnp.where(kk >= k2, rects[k2][3], hi)
+            colm = ((jj >= lo) & (jj <= hi)).astype(jnp.float32)
+            cs0m = cs0 * colm
+            cs1m = cs1 * colm
+
+            pre = []
+            for k in range(b):
+                x, y, status, last_sq, cnt, done = carry[6 * k:6 * k + 6]
+                ci_lo, ci_hi, cj_lo, cj_hi = rects[k]
+                b0 = -jnp.sum(cs0m[0:1, 16 * k:16 * (k + 1)])
+                b1 = -jnp.sum(cs1m[0:1, 16 * k:16 * (k + 1)])
+                ri_lo, ri_hi, rj_lo, rj_hi = setups[k][7]
+                num_valid = (
+                    jnp.maximum(0, jnp.minimum(ci_hi, ri_hi)
+                                - jnp.maximum(ci_lo, ri_lo) + 1)
+                    * jnp.maximum(0, jnp.minimum(cj_hi, rj_hi)
+                                  - jnp.maximum(cj_lo, rj_lo) + 1))
+                pre.append((x, y, status, last_sq, cnt, done,
+                            num_valid, b0, b1))
+            return pre
+
         def iter_body(_, carry):
             xs_c = [carry[6 * k] for k in range(b)]
             ys_c = [carry[6 * k + 1] for k in range(b)]
-            if use_identity:
+            if bias_mode != "slow":
                 # ONE stacked contraction computes every feature's
                 # column-interpolated window: U_all[24k+r, 16k+j] is
                 # feature k's sample column j at window row r (the
@@ -368,6 +541,10 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 loads = [smp.load_window(cur_imgs[lvl], xs_c[k], ys_c[k])
                          for k in range(b)]
 
+            if bias_mode == "qdt":
+                pre = qdt_pre(carry, xs_c, ys_c, u_all, loads)
+                return advance_all(pre)
+
             pre = []
             for k in range(b):
                 x, y, status, last_sq, cnt, done = (
@@ -375,7 +552,7 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 d_aug, ref_rect = setups[k][6:8]
                 cwin, cwr0, cwc0 = loads[k]
 
-                if use_identity:
+                if bias_mode == "identity":
                     # Masked trace identity — EXACT reference semantics
                     # with no branch: the dt mask (cur validity & ref
                     # validity) is a separable rectangle, so it folds
@@ -425,21 +602,7 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                                                   x, y)
                 pre.append((x, y, status, last_sq, cnt, done,
                             num_valid, b0, b1))
-
-            out = []
-            for k in range(b):
-                (x, y, status, last_sq, cnt, done, num_valid,
-                 b0, b1) = pre[k]
-                (h00, h01, h11, det) = setups[k][4]
-                # Closed-form 2x2 solve (LDLT equivalent).
-                vx = (h11 * b0 - h01 * b1) / det
-                vy = (h00 * b1 - h01 * b0) / det
-                upd, status, last_sq, cnt, done = _advance(
-                    done, status, last_sq, cnt, [vx, vy], num_valid, opts)
-                out.extend([jnp.where(upd, x + vx, x),
-                            jnp.where(upd, y + vy, y),
-                            status, last_sq, cnt, done])
-            return tuple(out)
+            return advance_all(pre)
 
         carry0 = []
         for k in range(b):
@@ -517,28 +680,48 @@ def _geometry(opts: KltOptions, img):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("opts", "interpret", "use_identity"))
+                   static_argnames=("opts", "interpret", "use_identity",
+                                    "bias_mode"))
 def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
                               ref_uv, cur_uv, interpret: bool = False,
-                              use_identity: bool | None = None):
+                              use_identity: bool | None = None,
+                              bias_mode: str | None = None):
     """Whole-pyramid fast-mode tracker in ONE kernel launch.
 
     Returns (uv [N,2] full-resolution, status [N] int8). Skip handling
     and the final outside check are applied by the caller.
 
-    ``use_identity`` enables the interior-feature trace-identity bias
-    (default: on for the compiled path, off in interpret mode so the
-    parity tests compare the reference-ordered arithmetic). The identity
-    path's 16-lane block layout requires patch_cols <= 16; wider patches
-    fall back to the masked-patch bias."""
-    if use_identity is None:
-        use_identity = (not interpret and opts.patch_cols <= 16
-                        and opts.patch_rows <= 16)
-    if use_identity and (opts.patch_cols > 16 or opts.patch_rows > 16):
+    ``bias_mode`` selects the per-iteration bias formulation:
+      - ``"qdt"`` (compiled default): the stacked q/dt fold — one
+        block-diagonal contraction samples every interleaved feature's
+        row-masked patch (+ exact row mask via an appended ones
+        column), bias from the small-magnitude residual dt.
+      - ``"identity"``: round-2 per-feature masked trace identity
+        (kept for A/B measurement).
+      - ``"slow"`` (interpret default): reference-ordered masked-patch
+        arithmetic for bit-meaningful parity tests.
+    ``use_identity`` is the legacy boolean alias (True -> "identity",
+    False -> "slow"). The blocked paths' 16-lane layouts require patch
+    rows/cols <= 16; wider patches fall back to "slow"."""
+    if bias_mode is None:
+        if use_identity is not None:
+            bias_mode = "identity" if use_identity else "slow"
+        elif (not interpret and opts.patch_cols <= 16
+              and opts.patch_rows <= 16):
+            # TODO(r3): flip to "qdt" once the fold is parity-validated
+            # and timed on the real chip (interpret parity is green).
+            bias_mode = "identity"
+        else:
+            bias_mode = "slow"
+    if bias_mode not in ("qdt", "identity", "slow"):
+        raise ValueError(f"unknown bias_mode {bias_mode!r}")
+    if bias_mode != "slow" and (opts.patch_cols > 16
+                                or opts.patch_rows > 16):
         raise ValueError(
-            f"use_identity requires patch rows/cols <= 16 (16-lane "
-            f"block layout); got {opts.patch_rows}x{opts.patch_cols}. "
-            f"Pass use_identity=False.")
+            f"bias_mode={bias_mode!r} requires patch rows/cols <= 16 "
+            f"(16-lane block layout); got "
+            f"{opts.patch_rows}x{opts.patch_cols}. Pass "
+            f"bias_mode='slow'.")
     levels = len(ref_pyramid)
     n = ref_uv.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -559,7 +742,7 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
 
     kernel = functools.partial(_kernel, opts=opts, shapes=shapes, pad=pad,
                                n_features=n, precise=interpret,
-                               use_identity=use_identity)
+                               bias_mode=bias_mode)
     smem_vec = _smem_vec()
     out_x, out_y, status = pl.pallas_call(
         kernel,

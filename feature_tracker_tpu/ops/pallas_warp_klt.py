@@ -110,7 +110,16 @@ def _chol_solve(h, b):
 
 class _Sampler:
     """Shared per-kernel machinery: aligned window loads and hat-weight
-    sampling over a flattened patch grid."""
+    sampling over a flattened patch grid.
+
+    Round-3 layout: the flat patch axis P lives in LANES ([1, P_pad]
+    rows), not sublanes. The round-2 [P_pad, 1] column layout paid ~22
+    sublane-tile issues (at 1/128 lane utilization) for EVERY
+    elementwise op and reduce in the iteration — the masks, dt, the
+    6 bias terms, the jacobian products. In row layout those are 2-tile
+    ops. Sampling contracts the window's COLUMN axis first
+    (win @ cwT -> [WIN_R, P_pad]) so no operand needs a transpose; the
+    row hat weights then reduce over sublanes."""
 
     def __init__(self, opts: KltOptions, img_h, img_w, pad, hp, wp,
                  rows=None, cols=None, precise: bool = True):
@@ -123,17 +132,17 @@ class _Sampler:
         self.img_h, self.img_w = img_h, img_w
         self.pad, self.hp, self.wp = pad, hp, wp
 
-        pid = jax.lax.broadcasted_iota(jnp.int32, (self.p_pad, 1), 0)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (1, self.p_pad), 1)
         self.p_mask = pid < self.p
         self.offx = jnp.where(
             self.p_mask, pid % self.pc - self.pc // 2, 0).astype(jnp.float32)
         self.offy = jnp.where(
             self.p_mask, pid // self.pc - self.pr // 2, 0).astype(jnp.float32)
         # tpu.iota only produces integers; cast to float after.
-        self.row_lane = jax.lax.broadcasted_iota(
-            jnp.int32, (self.p_pad, WIN_R), 1).astype(jnp.float32)
-        self.col_lane = jax.lax.broadcasted_iota(
-            jnp.int32, (self.p_pad, WIN_C), 1).astype(jnp.float32)
+        self.row_sub = jax.lax.broadcasted_iota(
+            jnp.int32, (WIN_R, self.p_pad), 0).astype(jnp.float32)
+        self.col_sub = jax.lax.broadcasted_iota(
+            jnp.int32, (WIN_C, self.p_pad), 0).astype(jnp.float32)
 
     def load_window(self, img, center_x, center_y):
         """Tile-aligned [WIN_R, WIN_C] window whose interior contains the
@@ -164,20 +173,24 @@ class _Sampler:
         return win, r8 - self.pad, c128 + 64 * plane - self.pad
 
     def sample(self, window, wr0, wc0, pos_x, pos_y):
-        """Hat-weight bilinear sample of [P_pad, 1] positions from the
+        """Hat-weight bilinear sample of [1, P_pad] positions from the
         window. Returns (value, valid) — valid combines the reference's
-        global bound (floor in [0, dim-2]) with window coverage."""
-        lx = pos_x - wc0.astype(jnp.float32)
+        global bound (floor in [0, dim-2]) with window coverage.
+
+        Column contraction first: win @ cwT needs NO transposed operand
+        (the contraction axis is the window's lane axis), then the row
+        hat weights reduce over WIN_R sublanes."""
+        lx = pos_x - wc0.astype(jnp.float32)            # [1, P_pad]
         ly = pos_y - wr0.astype(jnp.float32)
-        rw = jnp.maximum(0.0, 1.0 - jnp.abs(ly - self.row_lane))
-        cw = jnp.maximum(0.0, 1.0 - jnp.abs(lx - self.col_lane))
+        rwt = jnp.maximum(0.0, 1.0 - jnp.abs(ly - self.row_sub))
+        cwt = jnp.maximum(0.0, 1.0 - jnp.abs(lx - self.col_sub))
         # Single-pass bf16 rounding of the hat weights would cost
         # ~0.3 gray levels per sample — enough to break the
         # |v|^2 < 4e-2 convergence threshold on real imagery — so the
         # compiled path uses the 3-pass split product (exact f32 in
         # interpret mode).
-        t = _xdot(rw, window, ((1,), (0,)), self.precise)
-        val = jnp.sum(t * cw, axis=1, keepdims=True)
+        s = _xdot(window, cwt, ((1,), (0,)), self.precise)  # [WIN_R, P]
+        val = jnp.sum(s * rwt, axis=0, keepdims=True)       # [1, P_pad]
 
         fx = jnp.floor(pos_x)
         fy = jnp.floor(pos_y)
@@ -201,8 +214,9 @@ class _Sampler:
 def make_ref_extractors(opts: KltOptions):
     """Static one-hot matrices extracting the inner patch and its
     un-halved central-difference gradients from the FLAT extended-patch
-    column in one matvec each (replaces 4 of the 5 hat-matmul samples in
-    the reference setup)."""
+    row in one matvec each (replaces 4 of the 5 hat-matmul samples in
+    the reference setup). Transposed [EX_pad, P_pad] for the row
+    layout: extract = ex_row @ mat."""
     import numpy as _np
     pr, pc = opts.patch_rows, opts.patch_cols
     epr, epc = opts.ex_patch_rows, opts.ex_patch_cols
@@ -210,9 +224,9 @@ def make_ref_extractors(opts: KltOptions):
     ex_pad = _round8(epr * epc)
 
     def sel(dr, dc):
-        m = _np.zeros((p_pad, ex_pad), _np.float32)
+        m = _np.zeros((ex_pad, p_pad), _np.float32)
         for q in range(pr * pc):
-            m[q, (q // pc + 1 + dr) * epc + (q % pc + 1 + dc)] = 1.0
+            m[(q // pc + 1 + dr) * epc + (q % pc + 1 + dc), q] = 1.0
         return m
 
     return (jnp.asarray(sel(0, 0)),
@@ -229,11 +243,11 @@ def ref_setup_shared(smp, exs, extractors, ref_img_pad, rx, ry):
     (the previous formulation paid five full hat-matmul samples)."""
     window, wr0, wc0 = exs.load_window(ref_img_pad, rx, ry)
     ex_flat, _ = exs.sample(window, wr0, wc0, rx + exs.offx,
-                            ry + exs.offy)                  # [EX_pad, 1]
+                            ry + exs.offy)                  # [1, EX_pad]
     s_c_m, s_dx_m, s_dy_m = extractors
 
     def extract(mat):
-        return _xdot(mat, ex_flat, ((1,), (0,)), smp.precise)  # [P_pad, 1]
+        return _xdot(ex_flat, mat, ((1,), (0,)), smp.precise)  # [1, P_pad]
 
     v_c = smp.rect_valid(rx, ry, 0, 2)
     gvalid = smp.rect_valid(rx, ry, 1, 3)

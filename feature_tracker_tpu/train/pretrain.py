@@ -179,33 +179,23 @@ def _random_similarity(rng, h, w, max_theta=0.3, max_shift=10.0,
     return rot, t
 
 
-def harris_adaptation_points(img, rng, n_warps: int = 8, cap: int = 64,
-                             min_votes: int | None = None):
-    """Multi-view-stable Harris points: detect on random similarity
-    warps of ``img``, unwarp, and keep locations where detections
-    agree across warps (votes splatted with 1-px tolerance). Labels are
-    model-INDEPENDENT — the round-3 self-labeling adaptation collapsed
-    the detector (reference-pair matches 87 -> 42) because pseudo-labels
-    from the model drift; Harris anchored to multi-warp stability keeps
-    the target grounded while still teaching viewpoint-covariant
-    repeatability."""
-    from feature_tracker_tpu.core.config import HarrisOptions
-    from feature_tracker_tpu.ops.detect import detect_good_features
-
+def _warp_stable_points(img, rng, detect_uv, n_warps: int = 8,
+                        cap: int = 64, min_votes: int | None = None):
+    """Multi-view-stable points of an arbitrary detector: detect on
+    random similarity warps of ``img``, unwarp, and keep locations where
+    detections agree across warps (votes splatted with 1-px tolerance).
+    ``detect_uv(img_np) -> [K, 2] np.ndarray`` of (x, y)."""
     h, w = img.shape
-    harris = HarrisOptions(min_feature_distance=6,
-                           min_valid_response=8.0)
     votes = np.zeros((h, w), np.float32)
     warps = [(np.eye(2), np.zeros(2))]
     for _ in range(n_warps - 1):
-        # Moderate scale range for LABEL generation: Harris response
-        # ranking is scale-sensitive and the goal is stability voting.
+        # Moderate scale range for LABEL generation: response ranking is
+        # scale-sensitive and the goal is stability voting.
         warps.append(_random_similarity(rng, h, w, scale_lo=0.92,
                                         scale_hi=1.1))
     for rot, t in warps:
         wimg, _ = _warp_image_np(img, rot, t)
-        uv, num = detect_good_features(jnp.asarray(wimg), cap, harris)
-        uv = np.asarray(uv)[:int(num)]
+        uv = detect_uv(wimg)
         if len(uv) == 0:
             continue
         # Unwarp detections: p = warp^-1(q).
@@ -227,6 +217,45 @@ def harris_adaptation_points(img, rng, n_warps: int = 8, cap: int = 64,
         pts.append((float(xi), float(yi)))
         v[max(0, yi - 4):yi + 5, max(0, xi - 4):xi + 5] = 0.0
     return pts
+
+
+def harris_adaptation_points(img, rng, n_warps: int = 8, cap: int = 64,
+                             min_votes: int | None = None):
+    """Multi-view-stable Harris labels. Model-INDEPENDENT — the round-3
+    self-labeling adaptation collapsed the detector (reference-pair
+    matches 87 -> 42) because pseudo-labels from the model drift; Harris
+    anchored to multi-warp stability keeps the target grounded while
+    still teaching viewpoint-covariant repeatability."""
+    from feature_tracker_tpu.core.config import HarrisOptions
+    from feature_tracker_tpu.ops.detect import detect_good_features
+
+    harris = HarrisOptions(min_feature_distance=6,
+                           min_valid_response=8.0)
+
+    def detect_uv(im):
+        uv, num = detect_good_features(jnp.asarray(im), cap, harris)
+        return np.asarray(uv)[:int(num)]
+
+    return _warp_stable_points(img, rng, detect_uv, n_warps, cap,
+                               min_votes)
+
+
+def disk_adaptation_points(img, rng, disk_det, n_warps: int = 8,
+                           cap: int = 64, min_votes: int | None = None):
+    """Multi-view-stable DISK labels (round-3 distillation, VERDICT item
+    3): the trained DISK detector's repeatability on the reference pair
+    (192 of ~290) far exceeds both Harris-voting-trained SuperPoint
+    (125) and raw Harris, so warp-stable DISK detections are the
+    strongest grounded label source available for the SuperPoint cell
+    head. Unlike self-labeling this cannot drift: the teacher is frozen
+    and external to the trained model."""
+
+    def detect_uv(im):
+        uv, _, num = disk_det.detect(jnp.asarray(im))
+        return np.asarray(uv)[:int(num)]
+
+    return _warp_stable_points(img, rng, detect_uv, n_warps, cap,
+                               min_votes)
 
 
 def homographic_adaptation_heat(apply_heat, params, img, rng,
@@ -422,7 +451,8 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
                      h: int = 96, w: int = 96, batch: int = 4,
                      seed: int = 11, n_warps: int = 8,
                      pool_size: int = 360, log_every: int = 200,
-                     desc_temp: float = 0.1, det_weight: float = 1.0):
+                     desc_temp: float = 0.1, det_weight: float = 1.0,
+                     labeler: str = "harris"):
     """Viewpoint-adaptation training for SuperPoint (VERDICT r2 item 3):
     detector labels come from MULTI-WARP-STABLE HARRIS points
     (harris_adaptation_points — detections that persist across random
@@ -447,6 +477,23 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
     rng = np.random.default_rng(seed)
     history = []
 
+    if labeler == "disk":
+        from feature_tracker_tpu.models.disk import DiskDetector
+        disk_det = DiskDetector.from_file(max_features=64,
+                                          min_feature_distance=6)
+        if disk_det is None:
+            raise FileNotFoundError(
+                "labeler='disk' needs weights/disk.npz (train DISK first)")
+
+        def label_points(im, r):
+            return disk_adaptation_points(im, r, disk_det, n_warps,
+                                          cap=48)
+    elif labeler == "harris":
+        def label_points(im, r):
+            return harris_adaptation_points(im, r, n_warps, cap=48)
+    else:
+        raise ValueError(f"unknown labeler {labeler!r}")
+
     for rnd in range(rounds):
         opt_state = tx.init(params)
         # Phase 1: label pool (all detector programs dispatched before
@@ -469,7 +516,7 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
                 use_real=use_real)
             labels = []
             for im in (img_a_, img_b_):
-                pts = harris_adaptation_points(im, rng, n_warps, cap=48)
+                pts = label_points(im, rng)
                 labels.append(_cell_labels_from_points(pts, h, w))
             idx, ok = _cell_correspondence(warp, hc, wc)
             pool.append((img_a_[..., None], img_b_[..., None], labels[0],
@@ -725,7 +772,7 @@ def reference_pair_lightglue_count(detector, model, params, cap=250):
 
 def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
          adapt_steps=800, reuse=0, lg_only=0, adapt_seed=11,
-         desc_temp_milli=100, det_weight_pct=100):
+         desc_temp_milli=100, det_weight_pct=100, disk_adapt=0):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -762,7 +809,8 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
         new_params, ahist = adapt_superpoint(
             sp_model, sp_params, rounds=adapt_rounds, steps=adapt_steps,
             seed=adapt_seed, desc_temp=desc_temp_milli / 1000.0,
-            det_weight=det_weight_pct / 100.0)
+            det_weight=det_weight_pct / 100.0,
+            labeler="disk" if disk_adapt else "harris")
         new_count = reference_pair_match_count(
             SuperPointDetector(new_params, max_features=300,
                                min_response=0.01))

@@ -150,3 +150,38 @@ def test_identity_fast_path_matches_slow_path():
     both = (st_s == 1) & (st_f == 1)
     d = np.abs(np.asarray(uv_s)[both] - np.asarray(uv_f)[both])
     assert d.max() < 1e-2, d.max()
+
+
+def test_qdt_fold_matches_slow_path():
+    """The round-3 stacked q/dt-fold bias (compiled default) must agree
+    with the reference-ordered masked-patch bias: the fold is exact
+    algebra (rowmask from the hat partition of unity, colmask on the
+    stacked column sums), so only float reordering separates them."""
+    from feature_tracker_tpu.ops.pallas_klt import (
+        track_pyramid_fast_pallas,
+    )
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+
+    ref, cur = translated_pair(h=120, w=160, shift=(3.0, -2.0))
+    rp = build_pyramid(jnp.asarray(ref), 3)
+    cp = build_pyramid(jnp.asarray(cur), 3)
+    rng = np.random.default_rng(11)
+    n = 96
+    # Mix interior features with border-clipped ones (masked rects).
+    uv = np.stack([rng.uniform(2, 158, n),
+                   rng.uniform(2, 118, n)], -1).astype(np.float32)
+    uv[-16:, 0] = rng.uniform(-4, 164, 16)
+    uv[-16:, 1] = rng.uniform(-4, 124, 16)
+    uv = jnp.asarray(uv)
+    opts = KltOptions(max_track_points=n)
+    uv_s, st_s = track_pyramid_fast_pallas(opts, rp, cp, uv, uv,
+                                           interpret=True,
+                                           bias_mode="slow")
+    uv_q, st_q = track_pyramid_fast_pallas(opts, rp, cp, uv, uv,
+                                           interpret=True,
+                                           bias_mode="qdt")
+    st_s, st_q = np.asarray(st_s), np.asarray(st_q)
+    assert (st_s != st_q).sum() <= 1, np.nonzero(st_s != st_q)
+    both = (st_s == 1) & (st_q == 1)
+    d = np.abs(np.asarray(uv_s)[both] - np.asarray(uv_q)[both])
+    assert d.max() < 1e-2, d.max()
