@@ -298,7 +298,7 @@ def _place_exact(arr, eye, precise: bool):
 
 
 def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
-            precise: bool, bias_mode: str):
+            precise: bool, bias_mode: str, batch: int = BATCH):
     levels = len(shapes)
     ref_imgs = refs[:levels]
     cur_imgs = refs[levels:2 * levels]
@@ -627,12 +627,12 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 [final[6 * k + 2] for k in range(b)])
 
     def one_batch(bi, _):
-        f0 = bi * BATCH
+        f0 = bi * batch
         scale = 1.0 / float(1 << (levels - 1))
-        rxs = [ref_x[f0 + k] * scale for k in range(BATCH)]
-        rys = [ref_y[f0 + k] * scale for k in range(BATCH)]
-        xs = [cur_x[f0 + k] * scale for k in range(BATCH)]
-        ys = [cur_y[f0 + k] * scale for k in range(BATCH)]
+        rxs = [ref_x[f0 + k] * scale for k in range(batch)]
+        rys = [ref_y[f0 + k] * scale for k in range(batch)]
+        xs = [cur_x[f0 + k] * scale for k in range(batch)]
+        ys = [cur_y[f0 + k] * scale for k in range(batch)]
         # Coarse-to-fine, coordinates doubled between levels
         # (reference: basic_klt.cpp:10,44-45); status is rewritten per
         # level, the last (finest) level's wins.
@@ -644,7 +644,7 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 rys = [v * 2.0 for v in rys]
                 xs = [v * 2.0 for v in xs]
                 ys = [v * 2.0 for v in ys]
-        for k in range(BATCH):
+        for k in range(batch):
             @pl.when(tile_base + f0 + k < n_features)
             def _(k=k):
                 out_x[f0 + k] = xs[k]
@@ -652,7 +652,7 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 out_status[f0 + k] = sts[k]
         return 0
 
-    jax.lax.fori_loop(0, TILE // BATCH, one_batch, 0)
+    jax.lax.fori_loop(0, TILE // batch, one_batch, 0)
 
 
 def _geometry(opts: KltOptions, img):
@@ -681,11 +681,12 @@ def _geometry(opts: KltOptions, img):
 
 @functools.partial(jax.jit,
                    static_argnames=("opts", "interpret", "use_identity",
-                                    "bias_mode"))
+                                    "bias_mode", "batch"))
 def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
                               ref_uv, cur_uv, interpret: bool = False,
                               use_identity: bool | None = None,
-                              bias_mode: str | None = None):
+                              bias_mode: str | None = None,
+                              batch: int = BATCH):
     """Whole-pyramid fast-mode tracker in ONE kernel launch.
 
     Returns (uv [N,2] full-resolution, status [N] int8). Skip handling
@@ -722,6 +723,8 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
             f"(16-lane block layout); got "
             f"{opts.patch_rows}x{opts.patch_cols}. Pass "
             f"bias_mode='slow'.")
+    if TILE % batch != 0:
+        raise ValueError(f"batch ({batch}) must divide TILE ({TILE})")
     levels = len(ref_pyramid)
     n = ref_uv.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -742,7 +745,7 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
 
     kernel = functools.partial(_kernel, opts=opts, shapes=shapes, pad=pad,
                                n_features=n, precise=interpret,
-                               bias_mode=bias_mode)
+                               bias_mode=bias_mode, batch=batch)
     smem_vec = _smem_vec()
     out_x, out_y, status = pl.pallas_call(
         kernel,
