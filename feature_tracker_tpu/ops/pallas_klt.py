@@ -408,7 +408,7 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         setups = [ref_setup(lvl, rxs[k], rys[k], ex_patches[k])
                   for k in range(b)]
 
-        if bias_mode == "qdt":
+        if bias_mode in ("qdt", "qdtv"):
             # Lane-place each feature's (dx, dy, inner) at lanes
             # [16k, 16k+pc) via ONE exact split matmul per feature
             # (amortized over every iteration of the level). The
@@ -464,18 +464,18 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                             status, last_sq, cnt, done])
             return tuple(out)
 
-        def qdt_pre(carry, xs_c, ys_c, u_all, loads):
-            """The q/dt-fold bias for the whole batch (round 3): ONE
+        def qdt_fold(xs_c, ys_c, u_all, loads):
+            """The q/dt fold shared by qdt and qdtv (round 3): ONE
             stacked block-diagonal contraction produces every feature's
             row-masked sampled patch q (and, against an appended ones
             column, the exact 0/1 row-mask — hat weights are a partition
             of unity over the covered window, so the masked build's row
             sums are exactly the cur-validity indicator). The residual
             dt = q - inner*rowmask is small-magnitude (no catastrophic
-            cancellation), and both bias scalars fall out of two
-            elementwise products + stacked sublane reduces + static
-            16-lane slice sums. Replaces the per-feature trace-identity
-            a-matmul (3 split passes each) and its 4 full-tile sums."""
+            cancellation), and the masked column sums of dx*dt / dy*dt
+            come out as two [1, 16b] lane vectors (cs0m, cs1m). Replaces
+            the per-feature trace-identity a-matmul (3 split passes
+            each) and its 4 full-tile sums."""
             ly0s, ci_los, ci_his, rects = [], [], [], []
             for k in range(b):
                 x, y = xs_c[k], ys_c[k]
@@ -508,9 +508,14 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 lo = jnp.where(kk >= k2, rects[k2][2], lo)
                 hi = jnp.where(kk >= k2, rects[k2][3], hi)
             colm = ((jj >= lo) & (jj <= hi)).astype(jnp.float32)
-            cs0m = cs0 * colm
-            cs1m = cs1 * colm
+            return cs0 * colm, cs1 * colm, rects
 
+        def qdt_pre(carry, xs_c, ys_c, u_all, loads):
+            """qdt mode: per-feature SCALAR bias/count extraction from
+            the fold (static 16-lane slice sums + closed-form rect
+            intersection counts); the advance stays 4 interleaved
+            scalar chains."""
+            cs0m, cs1m, rects = qdt_fold(xs_c, ys_c, u_all, loads)
             pre = []
             for k in range(b):
                 x, y, status, last_sq, cnt, done = carry[6 * k:6 * k + 6]
@@ -526,6 +531,96 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 pre.append((x, y, status, last_sq, cnt, done,
                             num_valid, b0, b1))
             return pre
+
+        if bias_mode == "qdtv":
+            # Vector-lane GN advance (VERDICT r2 item 1): per-feature
+            # state (x, y, status, last_sq, cnt, done) lives in [1, b]
+            # VMEM lane vectors, so ONE VPU op advances the whole
+            # interleave — the ~30-op scalar break chain no longer runs
+            # b times. The only scalar round-trips left per iteration
+            # are the 2b window-load anchors (one-hot masked lane sums,
+            # exact: a single nonzero term). The masked bias column
+            # sums reduce [2, 16b] -> [2, b] through ONE exact split
+            # matmul against the static block-sum matrix, and the
+            # validity counts become elementwise rect intersections on
+            # int vectors.
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+            onehots = [(lanes == k).astype(jnp.float32)
+                       for k in range(b)]
+            onehots_i = [(lanes == k).astype(jnp.int32)
+                         for k in range(b)]
+
+            def to_vec(vals, dtype):
+                v = jnp.full((1, b), vals[0], dtype)
+                for k in range(1, b):
+                    v = jnp.where(lanes == k,
+                                  jnp.asarray(vals[k]).astype(dtype), v)
+                return v
+
+            h00v = to_vec([setups[k][4][0] for k in range(b)],
+                          jnp.float32)
+            h01v = to_vec([setups[k][4][1] for k in range(b)],
+                          jnp.float32)
+            h11v = to_vec([setups[k][4][2] for k in range(b)],
+                          jnp.float32)
+            detv = to_vec([setups[k][4][3] for k in range(b)],
+                          jnp.float32)
+            refr = [to_vec([setups[k][7][i] for k in range(b)],
+                           jnp.int32) for i in range(4)]
+            gi = jax.lax.broadcasted_iota(jnp.int32, (16 * b, b), 0)
+            gc = jax.lax.broadcasted_iota(jnp.int32, (16 * b, b), 1)
+            blocksum = ((gi >> 4) == gc).astype(jnp.float32)
+
+            def vec_iter(c):
+                xv, yv, stv, lastv, cntv, donev = c
+                xs_c = [jnp.sum(xv * onehots[k]) for k in range(b)]
+                ys_c = [jnp.sum(yv * onehots[k]) for k in range(b)]
+                u_all, loads, _ = smp.stacked_samples(cur_imgs[lvl],
+                                                      xs_c, ys_c)
+                cs0m, cs1m, rects = qdt_fold(xs_c, ys_c, u_all, loads)
+                out2 = _place_exact(
+                    jnp.concatenate([cs0m, cs1m], axis=0), blocksum,
+                    precise)                                  # [2, b]
+                b0v = -out2[0:1]
+                b1v = -out2[1:2]
+                cur = [to_vec([rects[k][i] for k in range(b)],
+                              jnp.int32) for i in range(4)]
+                rowcnt = jnp.maximum(
+                    0, jnp.minimum(cur[1], refr[1])
+                    - jnp.maximum(cur[0], refr[0]) + 1)
+                colcnt = jnp.maximum(
+                    0, jnp.minimum(cur[3], refr[3])
+                    - jnp.maximum(cur[2], refr[2]) + 1)
+                nvv = rowcnt * colcnt
+                vxv = (h11v * b0v - h01v * b1v) / detv
+                vyv = (h00v * b1v - h01v * b0v) / detv
+                upd, stv, lastv, cntv, donev = _advance(
+                    donev, stv, lastv, cntv, [vxv, vyv], nvv, opts)
+                return (jnp.where(upd, xv + vxv, xv),
+                        jnp.where(upd, yv + vyv, yv),
+                        stv, lastv, cntv, donev)
+
+            carry0v = (jnp.int32(0),
+                       to_vec(xs, jnp.float32), to_vec(ys, jnp.float32),
+                       to_vec([_status0(setups[k][5]) for k in range(b)],
+                              jnp.int32),
+                       jnp.full((1, b), jnp.inf, jnp.float32),
+                       jnp.zeros((1, b), jnp.int32),
+                       to_vec([setups[k][5] for k in range(b)],
+                              jnp.bool_))
+
+            def vcond(c):
+                return ((c[0] < opts.max_iterations)
+                        & jnp.logical_not(jnp.all(c[6])))
+
+            def vstep(c):
+                return (c[0] + 1,) + vec_iter(c[1:])
+
+            fin = jax.lax.while_loop(vcond, vstep, carry0v)
+            xvf, yvf, stvf = fin[1], fin[2], fin[3]
+            return ([jnp.sum(xvf * onehots[k]) for k in range(b)],
+                    [jnp.sum(yvf * onehots[k]) for k in range(b)],
+                    [jnp.sum(stvf * onehots_i[k]) for k in range(b)])
 
         def iter_body(_, carry):
             xs_c = [carry[6 * k] for k in range(b)]
@@ -693,12 +788,16 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
     and the final outside check are applied by the caller.
 
     ``bias_mode`` selects the per-iteration bias formulation:
-      - ``"qdt"`` (compiled default): the stacked q/dt fold — one
-        block-diagonal contraction samples every interleaved feature's
-        row-masked patch (+ exact row mask via an appended ones
-        column), bias from the small-magnitude residual dt.
+      - ``"qdtv"``: the q/dt fold + VECTOR-LANE advance — per-feature
+        GN state lives in [1, batch] lane vectors, one VPU op advances
+        the whole interleave, bias lane sums via one block-sum matmul;
+        only the 2*batch window-load anchors round-trip to scalars.
+      - ``"qdt"``: the stacked q/dt fold — one block-diagonal
+        contraction samples every interleaved feature's row-masked
+        patch (+ exact row mask via an appended ones column), bias from
+        the small-magnitude residual dt; scalar advance chains.
       - ``"identity"``: round-2 per-feature masked trace identity
-        (kept for A/B measurement).
+        (compiled default until the r3 folds are timed on-chip).
       - ``"slow"`` (interpret default): reference-ordered masked-patch
         arithmetic for bit-meaningful parity tests.
     ``use_identity`` is the legacy boolean alias (True -> "identity",
@@ -714,7 +813,7 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
             bias_mode = "identity"
         else:
             bias_mode = "slow"
-    if bias_mode not in ("qdt", "identity", "slow"):
+    if bias_mode not in ("qdtv", "qdt", "identity", "slow"):
         raise ValueError(f"unknown bias_mode {bias_mode!r}")
     if bias_mode != "slow" and (opts.patch_cols > 16
                                 or opts.patch_rows > 16):

@@ -177,11 +177,17 @@ def test_qdt_fold_matches_slow_path():
     uv_s, st_s = track_pyramid_fast_pallas(opts, rp, cp, uv, uv,
                                            interpret=True,
                                            bias_mode="slow")
-    uv_q, st_q = track_pyramid_fast_pallas(opts, rp, cp, uv, uv,
-                                           interpret=True,
-                                           bias_mode="qdt")
-    st_s, st_q = np.asarray(st_s), np.asarray(st_q)
-    assert (st_s != st_q).sum() <= 1, np.nonzero(st_s != st_q)
-    both = (st_s == 1) & (st_q == 1)
-    d = np.abs(np.asarray(uv_s)[both] - np.asarray(uv_q)[both])
-    assert d.max() < 1e-2, d.max()
+    st_s = np.asarray(st_s)
+    # qdt: scalar advance; qdtv: vector-lane advance, at both interleave
+    # widths (batch=8 puts the stacked fold at exactly 128 lanes).
+    for mode, batch in (("qdt", 4), ("qdtv", 4), ("qdtv", 8)):
+        uv_q, st_q = track_pyramid_fast_pallas(opts, rp, cp, uv, uv,
+                                               interpret=True,
+                                               bias_mode=mode,
+                                               batch=batch)
+        st_q = np.asarray(st_q)
+        assert (st_s != st_q).sum() <= 1, (mode, batch,
+                                           np.nonzero(st_s != st_q))
+        both = (st_s == 1) & (st_q == 1)
+        d = np.abs(np.asarray(uv_s)[both] - np.asarray(uv_q)[both])
+        assert d.max() < 1e-2, (mode, batch, d.max())
