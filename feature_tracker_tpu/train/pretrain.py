@@ -311,17 +311,31 @@ def _detector_nll(heat, labels):
 
 
 def _make_sp_step(model, tx, hc, wc, desc_temp: float = 0.1,
-                  det_weight: float = 1.0):
+                  det_weight: float = 1.0, point_desc: bool = False,
+                  pt_temp: float = 0.07, hinge_margin: float = 0.92):
     """Jitted joint detector+descriptor train step (shared between the
     initial training and the adaptation rounds). ``desc_temp`` is the
     InfoNCE temperature (lower pulls positive pairs tighter — the demo
     protocol thresholds cosine distance at 0.1, and the round-2
     descriptors' positive distances straddled it); ``det_weight`` scales
-    the detector NLL against the descriptor loss."""
+    the detector NLL against the descriptor loss.
+
+    ``point_desc`` (round 3) adds a KEYPOINT-level descriptor loss that
+    matches the eval protocol exactly: descriptors are bilinear-sampled
+    at warp-corresponding detected points (the same ``sample_descriptors``
+    the demo uses), trained with a symmetric InfoNCE over the in-image
+    points plus a hinge at the demo's cosine decision boundary
+    (similarity >= ``hinge_margin`` ~ distance <= 0.1 gate with slack).
+    Motivation: SuperPoint converts only ~72% of repeatable points into
+    <=0.1-distance matches on the reference pair while DISK converts
+    ~96% — the cell-level loss never optimizes the quantity the demo
+    thresholds. Step then takes 3 extra args (uv_a, uv_b [B,P,2] and
+    pt_valid [B,P])."""
+    from feature_tracker_tpu.models.superpoint import sample_descriptors
 
     @jax.jit
     def step(params, opt_state, imgs_a, imgs_b, labels_a, labels_b,
-             cell_b_of_a, cell_valid):
+             cell_b_of_a, cell_valid, *points):
         def loss_fn(p):
             heat_a, desc_a = model.apply(p, imgs_a, train=False)
             heat_b, desc_b = model.apply(p, imgs_b, train=False)
@@ -340,7 +354,37 @@ def _make_sp_step(model, tx, hc, wc, desc_temp: float = 0.1,
                                       axis=-1)[..., 0]
             desc_loss = -jnp.sum(pos * cell_valid) / jnp.maximum(
                 jnp.sum(cell_valid), 1.0)
-            return det_weight * det + desc_loss, (det, desc_loss)
+            total = det_weight * det + desc_loss
+
+            if point_desc:
+                uv_a, uv_b, pt_valid = points
+                samp = jax.vmap(sample_descriptors)
+                pa = samp(desc_a, uv_a)                   # [B, P, D]
+                pb = samp(desc_b, uv_b)
+                psim = jnp.einsum("bpd,bqd->bpq", pa, pb)
+                nv = jnp.maximum(jnp.sum(pt_valid), 1.0)
+                # Mask padded slots out of the negative pools (their
+                # descriptors all sample position (0, 0) and would act
+                # as duplicated bogus negatives).
+                neg = -1e9
+                m_row = pt_valid[:, :, None] > 0
+                m_col = pt_valid[:, None, :] > 0
+                diag = jnp.einsum("bpd,bpd->bp", pa, pb)
+                lab = jnp.broadcast_to(
+                    jnp.eye(psim.shape[1], dtype=bool)[None], psim.shape)
+                ll_ab = jax.nn.log_softmax(
+                    jnp.where(m_col, psim, neg) / pt_temp, axis=2)
+                ll_ba = jax.nn.log_softmax(
+                    jnp.where(m_row, psim, neg) / pt_temp, axis=1)
+                pos_ab = jnp.sum(jnp.where(lab, ll_ab, 0.0), axis=2)
+                pos_ba = jnp.sum(jnp.where(lab, ll_ba, 0.0), axis=1)
+                pt_info = -jnp.sum(
+                    0.5 * (pos_ab + pos_ba) * pt_valid) / nv
+                hinge = jnp.sum(
+                    jnp.maximum(0.0, hinge_margin - diag)
+                    * pt_valid) / nv
+                total = total + pt_info + hinge
+            return total, (det, desc_loss)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn,
                                                 has_aux=True)(params)
@@ -348,6 +392,28 @@ def _make_sp_step(model, tx, hc, wc, desc_temp: float = 0.1,
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
     return step
+
+
+def _fit_points(pts_a, warp, h, w, cap: int = 48):
+    """Fixed-size point-correspondence arrays for the point-level
+    descriptor loss: (uv_a [cap,2], uv_b [cap,2], valid [cap]) keeping
+    pairs whose both endpoints are >=2 px inside the image."""
+    pts = np.asarray(pts_a, np.float32).reshape(-1, 2)
+    if len(pts):
+        pb = np.asarray(warp(pts), np.float32).reshape(-1, 2)
+        ok = ((pts[:, 0] >= 2) & (pts[:, 0] < w - 2)
+              & (pts[:, 1] >= 2) & (pts[:, 1] < h - 2)
+              & (pb[:, 0] >= 2) & (pb[:, 0] < w - 2)
+              & (pb[:, 1] >= 2) & (pb[:, 1] < h - 2))
+        pts, pb = pts[ok], pb[ok]
+    else:
+        pb = np.zeros((0, 2), np.float32)
+    n = min(len(pts), cap)
+    ua = np.zeros((cap, 2), np.float32)
+    ub = np.zeros((cap, 2), np.float32)
+    ua[:n] = pts[:n]
+    ub[:n] = pb[:n]
+    return ua, ub, (np.arange(cap) < n).astype(np.float32)
 
 
 def _cell_correspondence(warp, hc, wc):
@@ -371,7 +437,7 @@ def _sp_train_loop(step, params, opt_state, pool, steps, rng, batch,
         if (it * batch) % len(pool) + batch >= len(pool):
             order = rng.permutation(len(pool))
         stacked = [jnp.asarray(np.stack([t[i] for t in take]))
-                   for i in range(6)]
+                   for i in range(len(take[0]))]
         params, opt_state, loss, aux = step(params, opt_state, *stacked)
         if it % log_every == 0 or it == steps - 1:
             det, dsc = float(aux[0]), float(aux[1])
@@ -452,7 +518,8 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
                      seed: int = 11, n_warps: int = 8,
                      pool_size: int = 360, log_every: int = 200,
                      desc_temp: float = 0.1, det_weight: float = 1.0,
-                     labeler: str = "harris"):
+                     labeler: str = "harris", point_desc: bool = False,
+                     lr: float = 1e-4):
     """Viewpoint-adaptation training for SuperPoint (VERDICT r2 item 3):
     detector labels come from MULTI-WARP-STABLE HARRIS points
     (harris_adaptation_points — detections that persist across random
@@ -470,10 +537,10 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
     )
 
     tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(1e-4, weight_decay=1e-5))
+                     optax.adamw(lr, weight_decay=1e-5))
     hc, wc = h // 8, w // 8
     step = _make_sp_step(model, tx, hc, wc, desc_temp=desc_temp,
-                         det_weight=det_weight)
+                         det_weight=det_weight, point_desc=point_desc)
     rng = np.random.default_rng(seed)
     history = []
 
@@ -505,8 +572,11 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
                 img, corners = synthetic_corners_image(rng, h, w)
                 labels = _cell_labels_from_points(corners, h, w)
                 idx, ok = _cell_correspondence(lambda p: p, hc, wc)
-                pool.append((img[..., None], img[..., None], labels,
-                             labels, idx, ok))
+                entry = [img[..., None], img[..., None], labels,
+                         labels, idx, ok]
+                if point_desc:
+                    entry.extend(_fit_points(corners, lambda p: p, h, w))
+                pool.append(tuple(entry))
                 continue
             # Real crops preferred: the analytic textures are
             # band-limited and carry few strong Harris corners.
@@ -515,12 +585,18 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
                 rng, h, w, max_theta=0.3, max_shift=14.0,
                 use_real=use_real)
             labels = []
+            pts_a = None
             for im in (img_a_, img_b_):
                 pts = label_points(im, rng)
+                if pts_a is None:
+                    pts_a = pts
                 labels.append(_cell_labels_from_points(pts, h, w))
             idx, ok = _cell_correspondence(warp, hc, wc)
-            pool.append((img_a_[..., None], img_b_[..., None], labels[0],
-                         labels[1], idx, ok))
+            entry = [img_a_[..., None], img_b_[..., None], labels[0],
+                     labels[1], idx, ok]
+            if point_desc:
+                entry.extend(_fit_points(pts_a, warp, h, w))
+            pool.append(tuple(entry))
         # Phase 2: continue joint training on the adapted labels.
         params, opt_state, hist = _sp_train_loop(
             step, params, opt_state, pool, steps, rng, batch, log_every,
@@ -772,7 +848,8 @@ def reference_pair_lightglue_count(detector, model, params, cap=250):
 
 def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
          adapt_steps=800, reuse=0, lg_only=0, adapt_seed=11,
-         desc_temp_milli=100, det_weight_pct=100, disk_adapt=0):
+         desc_temp_milli=100, det_weight_pct=100, disk_adapt=0,
+         pt_desc=0, adapt_lr_micro=100):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -810,7 +887,8 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
             sp_model, sp_params, rounds=adapt_rounds, steps=adapt_steps,
             seed=adapt_seed, desc_temp=desc_temp_milli / 1000.0,
             det_weight=det_weight_pct / 100.0,
-            labeler="disk" if disk_adapt else "harris")
+            labeler="disk" if disk_adapt else "harris",
+            point_desc=bool(pt_desc), lr=adapt_lr_micro / 1e6)
         new_count = reference_pair_match_count(
             SuperPointDetector(new_params, max_features=300,
                                min_response=0.01))
