@@ -605,6 +605,132 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
     return params, history
 
 
+def _disk_teacher():
+    """Frozen DISK teacher for descriptor distillation: returns
+    (targets_fn, emb) where ``targets_fn(img_np, uv [P,2]) -> [P,256]``
+    are the teacher's L2-normalized descriptors embedded into the
+    SuperPoint descriptor space through a FIXED semi-orthogonal
+    128->256 isometry (QR of a seeded Gaussian) — cosine geometry is
+    preserved exactly, so a student matching the targets inherits the
+    teacher's match/non-match separation."""
+    from feature_tracker_tpu.models.disk import (
+        DiskDetector,
+        sample_descriptors_fullres,
+    )
+    det = DiskDetector.from_file()
+    if det is None:
+        raise FileNotFoundError("descriptor distillation needs "
+                                "weights/disk.npz")
+    q, _ = np.linalg.qr(
+        np.random.default_rng(77).normal(size=(256, 128)))
+    emb = jnp.asarray(q.astype(np.float32))          # [256, 128]
+
+    @jax.jit
+    def run(img, uv):
+        h, w = img.shape
+        ph, pw = (-h) % 8, (-w) % 8
+        padded = jnp.pad(img, ((0, ph), (0, pw)))
+        _, desc = det.model.apply(det.variables,
+                                  padded[None, :, :, None])
+        d = sample_descriptors_fullres(desc[0, :h, :w], uv)  # [P,128]
+        return d @ emb.T                                     # [P,256]
+
+    def targets_fn(img_np, uv_np):
+        return np.asarray(run(jnp.asarray(img_np), jnp.asarray(uv_np)))
+
+    return targets_fn
+
+
+def _make_sp_distill_step(model, tx, det_weight: float = 1.0):
+    """Jitted distillation step: detector NLL on (DISK-stable) cell
+    labels + pointwise cosine alignment of the student's sampled
+    descriptors to the embedded teacher targets in BOTH images of the
+    warp pair."""
+    from feature_tracker_tpu.models.superpoint import sample_descriptors
+
+    @jax.jit
+    def step(params, opt_state, imgs_a, imgs_b, labels_a, labels_b,
+             uv_a, uv_b, pt_valid, tgt_a, tgt_b):
+        def loss_fn(p):
+            heat_a, desc_a = model.apply(p, imgs_a, train=False)
+            heat_b, desc_b = model.apply(p, imgs_b, train=False)
+            det = 0.5 * (_detector_nll(heat_a, labels_a)
+                         + _detector_nll(heat_b, labels_b))
+            samp = jax.vmap(sample_descriptors)
+            pa = samp(desc_a, uv_a)
+            pb = samp(desc_b, uv_b)
+            nv = jnp.maximum(jnp.sum(pt_valid), 1.0)
+            cos_a = jnp.sum(pa * tgt_a, -1)
+            cos_b = jnp.sum(pb * tgt_b, -1)
+            dist = jnp.sum(
+                (2.0 - cos_a - cos_b) * pt_valid) / nv
+            return det_weight * det + dist, (det, dist)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    return step
+
+
+def distill_superpoint_from_disk(model, params, steps: int = 1600,
+                                 h: int = 96, w: int = 96, batch: int = 4,
+                                 seed: int = 21, n_warps: int = 8,
+                                 pool_size: int = 360,
+                                 log_every: int = 200, lr: float = 2e-4,
+                                 n_extra_pts: int = 24):
+    """Full teacher-student distillation of DISK into the SuperPoint
+    architecture (round-3 experiment 3): detector labels = multi-warp-
+    stable DISK points; descriptor targets = embedded DISK descriptors
+    at those points PLUS random coverage points, in both images of each
+    warp pair. The 65-way head and descriptor head train jointly; the
+    caller gates on the reference-pair count as usual."""
+    from feature_tracker_tpu.models.disk import DiskDetector
+
+    targets_fn = _disk_teacher()
+    disk_det = DiskDetector.from_file(max_features=64,
+                                      min_feature_distance=6)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(lr, weight_decay=1e-5))
+    step = _make_sp_distill_step(model, tx)
+    rng = np.random.default_rng(seed)
+    cap = 48 + n_extra_pts
+
+    pool = []
+    for _ in range(pool_size):
+        img_a_, img_b_, warp = warped_texture_pair(
+            rng, h, w, max_theta=0.3, max_shift=14.0,
+            use_real=None if rng.uniform() < 0.2 else True)
+        pts = disk_adaptation_points(img_a_, rng, disk_det, n_warps,
+                                     cap=48)
+        labels_a = _cell_labels_from_points(pts, h, w)
+        labels_b = _cell_labels_from_points(
+            [tuple(q) for q in np.asarray(warp(np.asarray(
+                pts, np.float32).reshape(-1, 2)))] if pts else [],
+            h, w)
+        extra = np.stack([rng.uniform(4, w - 4, n_extra_pts),
+                          rng.uniform(4, h - 4, n_extra_pts)],
+                         -1).astype(np.float32)
+        allpts = (np.concatenate(
+            [np.asarray(pts, np.float32).reshape(-1, 2), extra])
+            if pts else extra)
+        ua, ub, pv = _fit_points(allpts, warp, h, w, cap=cap)
+        tgt_a = targets_fn(img_a_, ua)
+        tgt_b = targets_fn(img_b_, ub)
+        z = (pv == 0)
+        tgt_a[z] = 0.0
+        tgt_b[z] = 0.0
+        pool.append((img_a_[..., None], img_b_[..., None], labels_a,
+                     labels_b, ua, ub, pv, tgt_a, tgt_b))
+
+    opt_state = tx.init(params)
+    params, _, history = _sp_train_loop(step, params, opt_state, pool,
+                                        steps, rng, batch, log_every,
+                                        "sp-distill")
+    return params, history
+
+
 # ------------------------------------------------------- DISK (stage 2)
 
 def train_disk(steps: int = 1200, h: int = 96, w: int = 96, seed: int = 0,
@@ -849,7 +975,7 @@ def reference_pair_lightglue_count(detector, model, params, cap=250):
 def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
          adapt_steps=800, reuse=0, lg_only=0, adapt_seed=11,
          desc_temp_milli=100, det_weight_pct=100, disk_adapt=0,
-         pt_desc=0, adapt_lr_micro=100):
+         pt_desc=0, adapt_lr_micro=100, distill=0):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -883,12 +1009,18 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
                                    min_response=0.01))
             print(f"[superpoint] pre-adapt reference-pair count: "
                   f"{prev_count}", flush=True)
-        new_params, ahist = adapt_superpoint(
-            sp_model, sp_params, rounds=adapt_rounds, steps=adapt_steps,
-            seed=adapt_seed, desc_temp=desc_temp_milli / 1000.0,
-            det_weight=det_weight_pct / 100.0,
-            labeler="disk" if disk_adapt else "harris",
-            point_desc=bool(pt_desc), lr=adapt_lr_micro / 1e6)
+        if distill:
+            new_params, ahist = distill_superpoint_from_disk(
+                sp_model, sp_params, steps=adapt_steps, seed=adapt_seed,
+                lr=adapt_lr_micro / 1e6)
+        else:
+            new_params, ahist = adapt_superpoint(
+                sp_model, sp_params, rounds=adapt_rounds,
+                steps=adapt_steps, seed=adapt_seed,
+                desc_temp=desc_temp_milli / 1000.0,
+                det_weight=det_weight_pct / 100.0,
+                labeler="disk" if disk_adapt else "harris",
+                point_desc=bool(pt_desc), lr=adapt_lr_micro / 1e6)
         new_count = reference_pair_match_count(
             SuperPointDetector(new_params, max_features=300,
                                min_response=0.01))
