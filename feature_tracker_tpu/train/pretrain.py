@@ -716,8 +716,8 @@ def distill_superpoint_from_disk(model, params, steps: int = 1600,
             [np.asarray(pts, np.float32).reshape(-1, 2), extra])
             if pts else extra)
         ua, ub, pv = _fit_points(allpts, warp, h, w, cap=cap)
-        tgt_a = targets_fn(img_a_, ua)
-        tgt_b = targets_fn(img_b_, ub)
+        tgt_a = np.array(targets_fn(img_a_, ua))
+        tgt_b = np.array(targets_fn(img_b_, ub))
         z = (pv == 0)
         tgt_a[z] = 0.0
         tgt_b[z] = 0.0
@@ -975,7 +975,8 @@ def reference_pair_lightglue_count(detector, model, params, cap=250):
 def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
          adapt_steps=800, reuse=0, lg_only=0, adapt_seed=11,
          desc_temp_milli=100, det_weight_pct=100, disk_adapt=0,
-         pt_desc=0, adapt_lr_micro=100, distill=0):
+         pt_desc=0, adapt_lr_micro=100, distill=0, distill_batch=4,
+         distill_pool=360):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -1012,7 +1013,8 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
         if distill:
             new_params, ahist = distill_superpoint_from_disk(
                 sp_model, sp_params, steps=adapt_steps, seed=adapt_seed,
-                lr=adapt_lr_micro / 1e6)
+                lr=adapt_lr_micro / 1e6, batch=distill_batch,
+                pool_size=distill_pool)
         else:
             new_params, ahist = adapt_superpoint(
                 sp_model, sp_params, rounds=adapt_rounds,
