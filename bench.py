@@ -399,6 +399,22 @@ def main():
         globals()[f"w_{args.workload}"]()
         return
 
+    # Fail fast when the TPU tunnel is down: device init then HANGS in
+    # every workload subprocess (each burning its full timeout) — probe
+    # once up front and exit with a diagnosable message instead.
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=300, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        sys.stderr.write(
+            f"[bench] device backend unreachable ({type(e).__name__}): "
+            f"the axon TPU tunnel is down — no measurement possible. "
+            f"Last complete matrix is recorded in BASELINE.md.\n")
+        sys.exit(1)
+
     names = ["basic_klt"] if args.headline_only else WORKLOADS
     headline = None
     t_start = time.perf_counter()
