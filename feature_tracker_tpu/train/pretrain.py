@@ -976,7 +976,7 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
          adapt_steps=800, reuse=0, lg_only=0, adapt_seed=11,
          desc_temp_milli=100, det_weight_pct=100, disk_adapt=0,
          pt_desc=0, adapt_lr_micro=100, distill=0, distill_batch=4,
-         distill_pool=360):
+         distill_pool=360, lg_disk_steps=-1):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -1073,10 +1073,12 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
         # DISK-descriptor LightGlue variant (reference families
         # nn_feature_matcher.h:16-21); trained on the stronger detector.
         from feature_tracker_tpu.models.disk import DiskDetector
-        disk_det = DiskDetector.from_file(max_features=192)
+        lgd_steps = lg_steps if lg_disk_steps < 0 else lg_disk_steps
+        disk_det = (DiskDetector.from_file(max_features=192)
+                    if lgd_steps > 0 else None)
         if disk_det is not None:
             lgd_model, lgd_params, lgd_hist = train_lightglue(
-                disk_det, lg_steps, descriptor_dim=128,
+                disk_det, lgd_steps, descriptor_dim=128,
                 tag="lightglue-disk")
             save_pytree(os.path.join(WEIGHTS_DIR, "lightglue_disk.npz"),
                         lgd_params)
