@@ -418,16 +418,19 @@ def main():
     names = ["basic_klt"] if args.headline_only else WORKLOADS
     headline = None
     t_start = time.perf_counter()
-    for name in names:
+    for w_idx, name in enumerate(names):
         elapsed = time.perf_counter() - t_start
         remaining = TOTAL_BUDGET_S - elapsed
-        if remaining < 60 and headline is not None:
+        # The headline workload (first) always runs with its full timeout;
+        # everything after it is budget-clamped even if the headline FAILED
+        # (headline is None then, but the budget must still hold).
+        if remaining < 60 and w_idx > 0:
             sys.stderr.write(f"[bench] budget exhausted "
                              f"({elapsed:.0f}s); skipping {name}\n")
             continue
         per = SLOW_WORKLOAD_TIMEOUT_S if name == "raft" \
             else PER_WORKLOAD_TIMEOUT_S
-        if headline is not None:
+        if w_idx > 0:
             per = min(per, max(remaining, 60.0))
         try:
             out = subprocess.run(

@@ -51,13 +51,13 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_float,
         ]
-        lib.ftk_klt_fast_pyramid.restype = None
+        lib.ftk_klt_fast_pyramid.restype = ctypes.c_int
         lib.ftk_klt_fast_pyramid.argtypes = common
-        lib.ftk_klt_affine_fast_pyramid.restype = None
+        lib.ftk_klt_affine_fast_pyramid.restype = ctypes.c_int
         lib.ftk_klt_affine_fast_pyramid.argtypes = common
-        lib.ftk_klt_lssd_fast_pyramid.restype = None
+        lib.ftk_klt_lssd_fast_pyramid.restype = ctypes.c_int
         lib.ftk_klt_lssd_fast_pyramid.argtypes = common + [ctypes.c_int]
-        lib.ftk_direct_method_pyramid.restype = None
+        lib.ftk_direct_method_pyramid.restype = ctypes.c_int
         lib.ftk_direct_method_pyramid.argtypes = [
             ctypes.POINTER(pf), ctypes.POINTER(pf),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -105,7 +105,7 @@ def _run_fast(fn_name, ref_pyramid, cur_pyramid, ref_uv, cur_uv, status,
     hs = (ctypes.c_int * levels)(*[im.shape[0] for im in refs])
     ws = (ctypes.c_int * levels)(*[im.shape[1] for im in refs])
 
-    getattr(lib, fn_name)(
+    rc = getattr(lib, fn_name)(
         ref_ptrs, cur_ptrs, hs, ws, levels,
         ref_uv.ctypes.data_as(pf), out_uv.ctypes.data_as(pf),
         out_st.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
@@ -113,6 +113,10 @@ def _run_fast(fn_name, ref_pyramid, cur_pyramid, ref_uv, cur_uv, status,
         opts.patch_row_half_size, opts.patch_col_half_size,
         opts.max_iterations, opts.max_tolerance_large_step,
         opts.max_converge_step, *extra)
+    if rc != 0:
+        raise ValueError(
+            f"{fn_name}: unsupported config (patch side > 62, "
+            f"levels outside 1..16) — rc={rc}")
     return out_uv, out_st
 
 
@@ -174,7 +178,7 @@ def direct_method_cpu(ref_pyramid, cur_pyramid, k4, p_c_in_ref, ref_uv,
     cur_ptrs = (pf * levels)(*[im.ctypes.data_as(pf) for im in curs])
     hs = (ctypes.c_int * levels)(*[im.shape[0] for im in refs])
     ws = (ctypes.c_int * levels)(*[im.shape[1] for im in refs])
-    lib.ftk_direct_method_pyramid(
+    rc = lib.ftk_direct_method_pyramid(
         ref_ptrs, cur_ptrs, hs, ws, levels,
         k4.ctypes.data_as(pf), p_ref.ctypes.data_as(pf),
         ref_uv.ctypes.data_as(pf), out_uv.ctypes.data_as(pf),
@@ -183,4 +187,8 @@ def direct_method_cpu(ref_pyramid, cur_pyramid, k4, p_c_in_ref, ref_uv,
         n, opts.max_track_points,
         opts.patch_row_half_size, opts.patch_col_half_size,
         opts.max_iterations, opts.max_converge_step)
+    if rc != 0:
+        raise ValueError(
+            "ftk_direct_method_pyramid: unsupported config (patch side "
+            f"> 64, n > 4096, levels outside 1..16) — rc={rc}")
     return out_uv, q, p, st

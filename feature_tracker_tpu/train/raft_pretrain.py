@@ -108,7 +108,8 @@ def main(steps: int = 600, h: int = 128, w: int = 128, batch: int = 4,
     model = Raft(cfg)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     eval_rng = np.random.default_rng(seed + 1000)
-    epool = make_pool(eval_rng, eval_pairs // batch, h, w, batch,
+    n_eval_batches = max(1, -(-eval_pairs // batch))  # ceil, never 0
+    epool = make_pool(eval_rng, n_eval_batches, h, w, batch,
                       augment=bool(augment))
     agg = None
     zero_epe = 0.0
@@ -120,7 +121,7 @@ def main(steps: int = 600, h: int = 128, w: int = 128, batch: int = 4,
     agg = {k: round(v / len(epool), 4) for k, v in agg.items()}
     # The do-nothing baseline: EPE of predicting zero flow.
     agg["zero_flow_epe"] = round(zero_epe / len(epool), 4)
-    agg["pairs"] = eval_pairs
+    agg["pairs"] = n_eval_batches * batch
     agg["resolution"] = f"{w}x{h}"
     agg["config"] = "compact" if small else "full"
     agg["iterations"] = iters

@@ -171,7 +171,7 @@ extern "C" {
 // output; status is rewritten per feature (fast mode). Features whose
 // incoming status is > kTracked, or whose index >= max_track_points, are
 // skipped untouched.
-void ftk_klt_fast_pyramid(const float** ref_imgs, const float** cur_imgs,
+int ftk_klt_fast_pyramid(const float** ref_imgs, const float** cur_imgs,
                           const int* hs, const int* ws, int levels,
                           const float* ref_uv, float* cur_uv,
                           int8_t* status, int n, int max_track_points,
@@ -182,7 +182,8 @@ void ftk_klt_fast_pyramid(const float** ref_imgs, const float** cur_imgs,
     const int pc = 2 * patch_half_c + 1;
     const int epr = pr + 2;
     const int epc = pc + 2;
-    if (epr > kMaxPatch || epc > kMaxPatch) return;
+    if (epr > kMaxPatch || epc > kMaxPatch || levels < 1 ||
+        levels > 16) return 1;
 
     float ex_patch[kMaxPatch][kMaxPatch];
     bool ex_valid[kMaxPatch][kMaxPatch];
@@ -316,6 +317,7 @@ void ftk_klt_fast_pyramid(const float** ref_imgs, const float** cur_imgs,
         cur_uv[2 * f + 1] = y;
         status[f] = st;
     }
+    return 0;
 }
 
 // Affine-warp fast-mode pyramidal KLT (reference algorithm:
@@ -324,7 +326,7 @@ void ftk_klt_fast_pyramid(const float** ref_imgs, const float** cur_imgs,
 // path as ops/pallas_warp_klt.py::_affine_kernel). The affine matrix
 // starts at identity once per call and persists across levels
 // (affine_klt.cpp:20); positions scale x2 between levels, A does not.
-void ftk_klt_affine_fast_pyramid(
+int ftk_klt_affine_fast_pyramid(
         const float** ref_imgs, const float** cur_imgs,
         const int* hs, const int* ws, int levels,
         const float* ref_uv, float* cur_uv, int8_t* status,
@@ -333,7 +335,8 @@ void ftk_klt_affine_fast_pyramid(
         int max_tolerance_large_step, float max_converge_step) {
     const int pr = 2 * patch_half_r + 1;
     const int pc = 2 * patch_half_c + 1;
-    if (pr + 2 > kMaxPatch || pc + 2 > kMaxPatch) return;
+    if (pr + 2 > kMaxPatch || pc + 2 > kMaxPatch || levels < 1 ||
+        levels > 16) return 1;
 
     Level ref_lv[16], cur_lv[16];
     for (int l = 0; l < levels; ++l) {
@@ -462,6 +465,7 @@ void ftk_klt_affine_fast_pyramid(
         cur_uv[2 * f + 1] = y;
         status[f] = st;
     }
+    return 0;
 }
 
 // Direct photometric SE(3) pose tracker, DIRECT mode (reference
@@ -471,7 +475,7 @@ void ftk_klt_affine_fast_pyramid(
 // patches into ONE 6x6 system per iteration; additive position update and
 // left-multiplied small-angle quaternion update
 // (direct_method_tracker.cpp:179-185).
-void ftk_direct_method_pyramid(
+int ftk_direct_method_pyramid(
         const float** ref_imgs, const float** cur_imgs,
         const int* hs, const int* ws, int levels,
         const float* k4_full,      // fx, fy, cx, cy at full resolution
@@ -486,7 +490,8 @@ void ftk_direct_method_pyramid(
         float max_converge_step) {
     const int pr = 2 * patch_half_r + 1;
     const int pc = 2 * patch_half_c + 1;
-    if (pr > kMaxPatch || pc > kMaxPatch || n > 4096) return;
+    if (pr > kMaxPatch || pc > kMaxPatch || n > 4096 ||
+        levels < 1 || levels > 16) return 1;
 
     Level ref_lv[16], cur_lv[16];
     for (int l = 0; l < levels; ++l) {
@@ -665,6 +670,7 @@ void ftk_direct_method_pyramid(
     p_rc[0] = t[0];
     p_rc[1] = t[1];
     p_rc[2] = t[2];
+    return 0;
 }
 
 // SE(2) (LSSD) fast-mode pyramidal KLT (reference algorithm:
@@ -674,7 +680,7 @@ void ftk_direct_method_pyramid(
 // prediction at the coarsest level (lssd_klt.cpp:22-23), only t scales
 // between levels (lssd_klt.cpp:49), and the final position is
 // R_cr @ ref_uv + t_cr at full resolution (lssd_klt.cpp:43).
-void ftk_klt_lssd_fast_pyramid(
+int ftk_klt_lssd_fast_pyramid(
         const float** ref_imgs, const float** cur_imgs,
         const int* hs, const int* ws, int levels,
         const float* ref_uv, float* cur_uv, int8_t* status,
@@ -684,7 +690,8 @@ void ftk_klt_lssd_fast_pyramid(
         int luminance) {
     const int pr = 2 * patch_half_r + 1;
     const int pc = 2 * patch_half_c + 1;
-    if (pr + 2 > kMaxPatch || pc + 2 > kMaxPatch) return;
+    if (pr + 2 > kMaxPatch || pc + 2 > kMaxPatch || levels < 1 ||
+        levels > 16) return 1;
 
     Level ref_lv[16], cur_lv[16];
     for (int l = 0; l < levels; ++l) {
@@ -850,6 +857,7 @@ void ftk_klt_lssd_fast_pyramid(
         cur_uv[2 * f + 1] = fy;
         status[f] = st;
     }
+    return 0;
 }
 
 }  // extern "C"
