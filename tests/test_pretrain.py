@@ -108,3 +108,40 @@ def test_from_file_disk_lightglue_variant():
         return
     m = NNFeatureMatcher.from_file(opts)
     assert m is not None and m.cfg.descriptor_dim == 128
+
+
+def test_klt_verified_counts_correct_and_garbage_matches():
+    """_klt_verified is the anti-gaming axis: matches at the true warp
+    endpoint count as verified, matches elsewhere inside the 50 px gate
+    do not (a collapsed descriptor space produces exactly the latter)."""
+    from feature_tracker_tpu.train.pretrain import _klt_verified
+
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+    # Smooth it so KLT has gradients to work with.
+    k = np.ones((3, 3), np.float32) / 9.0
+    img = base.copy()
+    for _ in range(2):
+        img = np.pad(img, 1, mode="edge")
+        img = sum(img[i:i + 96, j:j + 128] * k[i, j]
+                  for i in range(3) for j in range(3))
+    dx, dy = 3, 2
+    cur = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+
+    ruv = np.stack(np.meshgrid(np.arange(24, 104, 16),
+                               np.arange(24, 72, 16)), -1)
+    ruv = ruv.reshape(-1, 2).astype(np.float32)
+    true_uv = ruv + np.array([dx, dy], np.float32)
+    garbage_uv = ruv + np.array([17.0, -11.0], np.float32)
+    n = len(ruv)
+    half = n // 2
+    muv = np.concatenate([true_uv[:half], garbage_uv[half:]])
+    matched = np.ones(n, bool)
+
+    verified, med = _klt_verified(img, cur, ruv, muv, matched)
+    assert verified == half  # true-endpoint matches verify...
+    assert med >= 0.0
+    # ...and with every match correct, everything verifies.
+    v_all, med_all = _klt_verified(img, cur, ruv, true_uv, matched)
+    assert v_all == n
+    assert med_all < 1.0
