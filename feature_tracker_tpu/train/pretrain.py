@@ -630,20 +630,25 @@ def _make_sp_distill_step(model, tx, det_weight: float = 1.0,
             cos_b = jnp.sum(pb * tgt_b, -1)
             dist = jnp.sum(
                 (2.0 - cos_a - cos_b) * pt_valid) / nv
-            # Relational distillation: match the teacher's Gram matrix
-            # over the sampled points. Pointwise regression alone allows
-            # a partially-collapsed student space whose pairwise cosines
-            # are all high — such a student GAMES the raw nearby-match
-            # count (every candidate passes the 0.1 distance gate) while
-            # its argmin matches are noise; preserving the teacher's
-            # pairwise structure keeps match/non-match separation.
+            # Relational anti-collapse term: penalize pairwise cosines
+            # that EXCEED the teacher's (one-sided hinge, 0.05 slack).
+            # Pointwise regression alone allows a partially-collapsed
+            # student space whose pairwise cosines are all high — such a
+            # student GAMES the raw nearby-match count (every candidate
+            # passes the 0.1 distance gate) while its argmin matches are
+            # noise. A symmetric Gram match was tried first and
+            # over-spread the space instead (raw count collapsed to 10
+            # because same-point cross-image cosines fell below the
+            # gate); only excess similarity needs suppressing — the
+            # pointwise target term supplies all the attraction.
             pmask = pt_valid[:, :, None] * pt_valid[:, None, :]
             nvv = jnp.maximum(jnp.sum(pmask), 1.0)
             g_sa = jnp.einsum("bpd,bqd->bpq", pa, pa)
             g_sb = jnp.einsum("bpd,bqd->bpq", pb, pb)
             g_ta = jnp.einsum("bpd,bqd->bpq", tgt_a, tgt_a)
             g_tb = jnp.einsum("bpd,bqd->bpq", tgt_b, tgt_b)
-            rel = jnp.sum(((g_sa - g_ta) ** 2 + (g_sb - g_tb) ** 2)
+            rel = jnp.sum((jax.nn.relu(g_sa - g_ta - 0.05) ** 2
+                           + jax.nn.relu(g_sb - g_tb - 0.05) ** 2)
                           * pmask) / (2.0 * nvv)
             loss_desc = dist + rel_weight * rel
             return det_weight * det + loss_desc, (det, loss_desc)
@@ -1150,18 +1155,49 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
             print(f"[disk] reference-pair nearby-match: {dc}",
                   flush=True)
 
+    def _ship_lightglue(fname, det, model, params, prefix, dim):
+        """Save LightGlue weights gated on reference-pair (verified, raw)
+        vs the file currently on disk — both evaluated with the SAME
+        (current) detector, so a stale matcher trained on an older
+        descriptor space loses to a fresh one fairly. Returns the params
+        that ended up shipped and records their counts in metrics."""
+        path = os.path.join(WEIGHTS_DIR, fname)
+        new_c = reference_pair_lightglue_counts(det, model, params)
+        if new_c and os.path.exists(path):
+            k = jnp.zeros((8, 2))
+            d = jnp.zeros((8, dim))
+            msk = jnp.ones(8, bool)
+            like = model.init(jax.random.PRNGKey(0), k, d, msk, k, d, msk)
+            try:
+                old_params = load_pytree(path, like)
+                old_c = reference_pair_lightglue_counts(det, model,
+                                                        old_params)
+            except Exception:
+                old_c = None
+            if old_c and _count_key(new_c) < _count_key(old_c):
+                print(f"[{prefix}] ship REJECTED: fresh {new_c} < "
+                      f"on-disk {old_c}; keeping existing weights",
+                      flush=True)
+                metrics[prefix + "_ship_rejected"] = {
+                    "counts": new_c, "kept": old_c}
+                params, new_c = old_params, old_c
+            else:
+                save_pytree(path, params)
+        else:
+            save_pytree(path, params)
+        if new_c:
+            metrics[prefix + "_reference_pair"] = new_c["raw"]
+            metrics[prefix + "_reference_pair_verified"] = new_c["verified"]
+        print(f"[{prefix}] reference-pair matches: {new_c}", flush=True)
+        return params
+
     if lg_steps > 0:
         lg_model, lg_params, lg_hist = train_lightglue(sp_det, lg_steps)
-        save_pytree(os.path.join(WEIGHTS_DIR, "lightglue_superpoint.npz"),
-                    lg_params)
         metrics["lightglue"] = lg_hist[-1]
+        lg_params = _ship_lightglue("lightglue_superpoint.npz", sp_det,
+                                    lg_model, lg_params, "lightglue", 256)
         metrics["heldout"] = evaluate_matching(sp_det, lg_model,
                                                lg_params)
-        lc = reference_pair_lightglue_counts(sp_det, lg_model, lg_params)
-        if lc:
-            metrics["lightglue_reference_pair"] = lc["raw"]
-            metrics["lightglue_reference_pair_verified"] = lc["verified"]
-        print(f"[lightglue] reference-pair matches: {lc}", flush=True)
 
         # DISK-descriptor LightGlue variant (reference families
         # nn_feature_matcher.h:16-21); trained on the stronger detector.
@@ -1173,19 +1209,12 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
             lgd_model, lgd_params, lgd_hist = train_lightglue(
                 disk_det, lgd_steps, descriptor_dim=128,
                 tag="lightglue-disk")
-            save_pytree(os.path.join(WEIGHTS_DIR, "lightglue_disk.npz"),
-                        lgd_params)
             metrics["lightglue_disk"] = lgd_hist[-1]
+            lgd_params = _ship_lightglue("lightglue_disk.npz", disk_det,
+                                         lgd_model, lgd_params,
+                                         "lightglue_disk", 128)
             metrics["heldout_disk"] = evaluate_matching(
                 disk_det, lgd_model, lgd_params)
-            ldc = reference_pair_lightglue_counts(disk_det, lgd_model,
-                                                  lgd_params)
-            if ldc:
-                metrics["lightglue_disk_reference_pair"] = ldc["raw"]
-                metrics["lightglue_disk_reference_pair_verified"] = (
-                    ldc["verified"])
-            print(f"[lightglue-disk] reference-pair matches: {ldc}",
-                  flush=True)
     metrics["wall_s"] = round(time.time() - t0, 1)
     with open(mpath, "w") as f:
         json.dump(metrics, f, indent=2)
