@@ -30,6 +30,14 @@ class DiskTrainConfig:
     clip_norm: float = 1.0
     temperature: float = 0.1
     num_samples: int = 128  # correspondence samples per pair
+    # Positive-cosine hinge at the demo decision boundary: the matcher
+    # demo gates cosine DISTANCE at 0.1 (test_descriptor_matcher_disk
+    # protocol), i.e. a positive pair only converts to a match when
+    # cos >= 0.8. InfoNCE separates positives from negatives but does
+    # not pin the absolute similarity scale; the hinge pushes positive
+    # cosines above the gate with slack. 0 disables (initial training).
+    pos_hinge_margin: float = 0.875
+    pos_hinge_weight: float = 0.0
 
 
 def translated_training_pair(rng: np.random.Generator, h: int, w: int,
@@ -66,7 +74,12 @@ def make_train_step(model: Disk, cfg: DiskTrainConfig):
                 sim, labels).mean()
             l_ba = optax.softmax_cross_entropy_with_integer_labels(
                 sim.T, labels).mean()
-            return 0.5 * (l_ab + l_ba)
+            loss = 0.5 * (l_ab + l_ba)
+            if cfg.pos_hinge_weight > 0.0:
+                pos_cos = jnp.sum(da * db, axis=-1)
+                loss = loss + cfg.pos_hinge_weight * jnp.mean(
+                    jax.nn.relu(cfg.pos_hinge_margin - pos_cos) ** 2)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -364,11 +364,21 @@ def _make_sp_step(model, tx, hc, wc, desc_temp: float = 0.1,
     return step
 
 
-def _fit_points(pts_a, warp, h, w, cap: int = 48):
+def _fit_points(pts_a, warp, h, w, cap: int = 96, rng=None,
+                n_random: int = 48):
     """Fixed-size point-correspondence arrays for the point-level
     descriptor loss: (uv_a [cap,2], uv_b [cap,2], valid [cap]) keeping
-    pairs whose both endpoints are >=2 px inside the image."""
+    pairs whose both endpoints are >=2 px inside the image. When ``rng``
+    is given, up to ``n_random`` uniform coverage points are appended to
+    the labeled keypoints (the DISK recipe trains on dense RANDOM
+    correspondences, disk_train.py:92-99 — coverage points both
+    diversify the InfoNCE negative pool and train the descriptor field
+    between keypoints, which sample_descriptors interpolates through)."""
     pts = np.asarray(pts_a, np.float32).reshape(-1, 2)
+    if rng is not None and n_random > 0:
+        extra = rng.uniform([4, 4], [w - 4, h - 4],
+                            (n_random, 2)).astype(np.float32)
+        pts = np.concatenate([pts, extra], 0) if len(pts) else extra
     if len(pts):
         pb = np.asarray(warp(pts), np.float32).reshape(-1, 2)
         ok = ((pts[:, 0] >= 2) & (pts[:, 0] < w - 2)
@@ -545,7 +555,8 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
                 entry = [img[..., None], img[..., None], labels,
                          labels, idx, ok]
                 if point_desc:
-                    entry.extend(_fit_points(corners, lambda p: p, h, w))
+                    entry.extend(_fit_points(corners, lambda p: p, h, w,
+                                             rng=rng))
                 pool.append(tuple(entry))
                 continue
             # Real crops preferred: the analytic textures are
@@ -565,7 +576,7 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
             entry = [img_a_[..., None], img_b_[..., None], labels[0],
                      labels[1], idx, ok]
             if point_desc:
-                entry.extend(_fit_points(pts_a, warp, h, w))
+                entry.extend(_fit_points(pts_a, warp, h, w, rng=rng))
             pool.append(tuple(entry))
         # Phase 2: continue joint training on the adapted labels.
         params, opt_state, hist = _sp_train_loop(
@@ -724,7 +735,11 @@ def distill_superpoint_from_disk(model, params, steps: int = 1600,
 # ------------------------------------------------------- DISK (stage 2)
 
 def train_disk(steps: int = 1200, h: int = 96, w: int = 96, seed: int = 0,
-               log_every: int = 200):
+               log_every: int = 200, init_params=None,
+               hinge_weight: float = 0.0, lr: float = 1e-3):
+    """DISK training / finetuning. ``init_params`` continues from
+    existing weights; ``hinge_weight`` > 0 adds the positive-cosine
+    hinge at the demo's 0.1-distance gate (see DiskTrainConfig)."""
     from feature_tracker_tpu.models.disk import Disk, DiskConfig
     from feature_tracker_tpu.train.disk_train import (
         DiskTrainConfig,
@@ -732,11 +747,12 @@ def train_disk(steps: int = 1200, h: int = 96, w: int = 96, seed: int = 0,
     )
 
     cfg = DiskConfig()
-    tcfg = DiskTrainConfig(num_samples=192)
+    tcfg = DiskTrainConfig(num_samples=192, pos_hinge_weight=hinge_weight,
+                           learning_rate=lr)
     model = Disk(cfg)
     rng = np.random.default_rng(seed)
-    params = model.init(jax.random.PRNGKey(seed),
-                        jnp.zeros((1, h, w, 1), jnp.float32))
+    params = init_params if init_params is not None else model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 1), jnp.float32))
     step, tx = make_train_step(model, tcfg)
     opt_state = tx.init(params)
 
@@ -1024,7 +1040,8 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
          adapt_steps=800, reuse=0, lg_only=0, adapt_seed=11,
          desc_temp_milli=100, det_weight_pct=100, disk_adapt=0,
          pt_desc=0, adapt_lr_micro=100, distill=0, distill_batch=4,
-         distill_pool=360, lg_disk_steps=-1):
+         distill_pool=360, lg_disk_steps=-1, disk_reuse=0,
+         disk_hinge_milli=0, disk_lr_micro=1000):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -1142,13 +1159,38 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
 
     if not lg_only:
         if disk_steps > 0:
-            disk_model, disk_params, disk_hist = train_disk(disk_steps)
-            save_pytree(os.path.join(WEIGHTS_DIR, "disk.npz"),
-                        disk_params)
-            metrics["disk"] = disk_hist[-1]
             from feature_tracker_tpu.models.disk import DiskDetector
+            disk_path = os.path.join(WEIGHTS_DIR, "disk.npz")
+            init_dp = None
+            if disk_reuse and os.path.exists(disk_path):
+                init_dp = DiskDetector.from_file(disk_path).variables
+                print("[disk] finetuning from existing weights",
+                      flush=True)
+            disk_model, disk_params, disk_hist = train_disk(
+                disk_steps, init_params=init_dp,
+                hinge_weight=disk_hinge_milli / 1000.0,
+                lr=disk_lr_micro / 1e6)
+            metrics["disk"] = disk_hist[-1]
             dc = reference_pair_counts(
                 DiskDetector(disk_params, max_features=300))
+            # Ship gate, same (verified, raw) ordering as SuperPoint:
+            # never overwrite on-disk DISK weights that match better.
+            if dc and os.path.exists(disk_path):
+                old_c = reference_pair_counts(
+                    DiskDetector.from_file(disk_path, max_features=300))
+                if old_c and _count_key(dc) < _count_key(old_c):
+                    print(f"[disk] ship REJECTED: fresh {dc} < on-disk "
+                          f"{old_c}; keeping existing weights",
+                          flush=True)
+                    metrics["disk_ship_rejected"] = {
+                        "counts": dc, "kept": old_c}
+                    disk_params = DiskDetector.from_file(
+                        disk_path).variables
+                    dc = old_c
+                else:
+                    save_pytree(disk_path, disk_params)
+            else:
+                save_pytree(disk_path, disk_params)
             if dc:
                 metrics["disk_reference_pair"] = dc["raw"]
                 metrics["disk_reference_pair_verified"] = dc["verified"]
