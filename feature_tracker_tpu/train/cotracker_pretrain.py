@@ -1,0 +1,221 @@
+"""Brief CoTracker training on synthetic videos + held-out track EPE.
+
+CoTracker is a capability the reference reserves but leaves EMPTY
+(reference: src/nn_optical_flow_tracker/co_tracker/model.py — 0 lines),
+so there is no behavior to match; the measurable claim here is that the
+native joint tracker *learns*: short supervised training on synthetic
+videos whose per-frame point tracks are exactly known (a smooth chain of
+similarity warps applied to textured/real imagery), then endpoint error
+on held-out videos vs the zero-motion baseline, recorded in
+weights/metrics.json and BASELINE.md.
+
+Run: ``python -m feature_tracker_tpu.train.cotracker_pretrain [steps=N]``.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from feature_tracker_tpu.models.cotracker import CoTracker, CoTrackerConfig
+from feature_tracker_tpu.train.pretrain import (
+    _bilinear_np,
+    _photometric,
+    _real_image_pool,
+    _Texture,
+)
+from feature_tracker_tpu.utils.weights import WEIGHTS_DIR, save_pytree
+
+
+def synthetic_video(rng, t, h, w, n_points, max_theta_step=0.04,
+                    max_shift_step=2.5, augment=True):
+    """(video [T,H,W,1], queries [N,2], tracks [T,N,2], vis [T,N]).
+
+    Frame k renders the base image under the CUMULATIVE similarity warp
+    W_k = S_k ∘ ... ∘ S_1 (W_0 = identity), each step S_i a small random
+    rotation/scale/shift about the image center — a smooth trajectory. A
+    point at p in frame 0 appears at W_k(p) in frame k, known exactly;
+    visibility is the in-frame indicator."""
+    pool = _real_image_pool()
+    use_real = len(pool) > 0 and rng.uniform() < 0.5
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    center = np.array([w / 2.0, h / 2.0])
+
+    if use_real:
+        img = pool[rng.integers(len(pool))]
+        ih, iw = img.shape
+        margin = 40
+        ox = rng.uniform(margin, iw - w - margin)
+        oy = rng.uniform(margin, ih - h - margin)
+        base = _bilinear_np(img, xx + ox, yy + oy).astype(np.float32)
+    else:
+        tex = _Texture(rng)
+        base = tex.eval(xx, yy).astype(np.float32)
+
+    rot = np.eye(2)
+    trans = np.zeros(2)
+    frames = [base]
+    rots, transs = [rot], [trans]
+    for _ in range(t - 1):
+        th = rng.uniform(-max_theta_step, max_theta_step)
+        sc = rng.uniform(0.98, 1.02)
+        c, s = np.cos(th) * sc, np.sin(th) * sc
+        step_rot = np.array([[c, -s], [s, c]])
+        step_t = (center + rng.uniform(-max_shift_step, max_shift_step, 2)
+                  - step_rot @ center)
+        rot = step_rot @ rot
+        trans = step_rot @ trans + step_t
+        rinv = np.linalg.inv(rot)
+        src = np.stack([xx - trans[0], yy - trans[1]], -1) @ rinv.T
+        frame = _bilinear_np(base, src[..., 0], src[..., 1])
+        if augment:
+            frame = _photometric(rng, frame)
+        frames.append(frame.astype(np.float32))
+        rots.append(rot)
+        transs.append(trans)
+
+    margin = 6
+    queries = np.stack([rng.uniform(margin, w - margin, n_points),
+                        rng.uniform(margin, h - margin, n_points)],
+                       -1)                                      # [N, 2]
+    tracks = np.stack([queries @ np.asarray(r).T + tt
+                       for r, tt in zip(rots, transs)], 0)      # [T, N, 2]
+    vis = ((tracks[..., 0] >= 0) & (tracks[..., 0] <= w - 1)
+           & (tracks[..., 1] >= 0) & (tracks[..., 1] <= h - 1))
+    video = np.stack(frames)[..., None]
+    return (video.astype(np.float32), queries.astype(np.float32),
+            tracks.astype(np.float32), vis.astype(np.float32))
+
+
+def make_pool(rng, n, batch, t, h, w, n_points, augment=True):
+    pool = []
+    for _ in range(n):
+        vids, qs, trs, vs = [], [], [], []
+        for _ in range(batch):
+            v, q, tr, vi = synthetic_video(rng, t, h, w, n_points,
+                                           augment=augment)
+            vids.append(v)
+            qs.append(q)
+            trs.append(tr)
+            vs.append(vi)
+        pool.append(tuple(jnp.asarray(np.stack(a))
+                          for a in (vids, qs, trs, vs)))
+    return pool
+
+
+def make_train_step(model, tx):
+
+    def loss_fn(params, video, queries, tracks, vis):
+        pred, vis_logits = jax.vmap(
+            lambda v, q: model.apply({"params": params}, v, q))(
+                video, queries)
+        err = jnp.linalg.norm(pred - tracks, axis=-1)          # [B, T, N]
+        huber = jnp.where(err < 4.0, 0.5 * err * err, 4.0 * err - 8.0)
+        pos_loss = jnp.sum(huber * vis) / jnp.maximum(jnp.sum(vis), 1.0)
+        vis_loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
+            vis_logits, vis))
+        epe = jnp.sum(err * vis) / jnp.maximum(jnp.sum(vis), 1.0)
+        return pos_loss + vis_loss, epe
+
+    @jax.jit
+    def step(params, opt_state, video, queries, tracks, vis):
+        (loss, epe), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, video, queries, tracks, vis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, epe
+
+    return step
+
+
+def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
+         n_points: int = 24, batch: int = 2, seed: int = 0,
+         log_every: int = 25, eval_videos: int = 8, augment: int = 1):
+    os.makedirs(WEIGHTS_DIR, exist_ok=True)
+    t0 = time.time()
+    cfg = CoTrackerConfig(feature_dim=64, model_dim=128, depth=2,
+                          iterations=4)
+    model = CoTracker(cfg)
+    rng = np.random.default_rng(seed)
+
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((t, h, w, 1)),
+                        jnp.zeros((n_points, 2)))["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(optax.cosine_decay_schedule(3e-4, steps,
+                                                             0.05)))
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+
+    pool = make_pool(rng, min(steps, 120), batch, t, h, w, n_points,
+                     augment=bool(augment))
+    for it in range(steps):
+        video, queries, tracks, vis = pool[it % len(pool)]
+        params, opt_state, loss, epe = step(params, opt_state, video,
+                                            queries, tracks, vis)
+        if it % log_every == 0 or it == steps - 1:
+            print(f"[cotracker] step {it}: loss={float(loss):.3f} "
+                  f"epe={float(epe):.3f}", flush=True)
+
+    # Held-out evaluation (fresh rng stream, no photometric augmentation
+    # so the metric reflects geometry, not appearance jitter).
+    eval_rng = np.random.default_rng(seed + 1000)
+    epool = make_pool(eval_rng, eval_videos, 1, t, h, w, n_points,
+                      augment=False)
+    apply = jax.jit(functools.partial(model.apply, {"params": params}))
+    tot_err = tot_zero = tot_vis = 0.0
+    vis_correct = vis_count = 0.0
+    for video, queries, tracks, vis in epool:
+        pred, vis_logits = apply(video[0], queries[0])
+        err = np.linalg.norm(np.asarray(pred) - np.asarray(tracks[0]),
+                             axis=-1)
+        zero = np.linalg.norm(
+            np.asarray(tracks[0]) - np.asarray(queries[0])[None], axis=-1)
+        v = np.asarray(vis[0])
+        tot_err += float((err * v).sum())
+        tot_zero += float((zero * v).sum())
+        tot_vis += float(v.sum())
+        vis_correct += float(((np.asarray(vis_logits) > 0) == (v > 0.5))
+                             .sum())
+        vis_count += v.size
+    agg = {
+        "epe": round(tot_err / max(tot_vis, 1.0), 4),
+        "zero_motion_epe": round(tot_zero / max(tot_vis, 1.0), 4),
+        "vis_accuracy": round(vis_correct / max(vis_count, 1.0), 4),
+        "videos": eval_videos,
+        "frames": t,
+        "points": n_points,
+        "resolution": f"{w}x{h}",
+        "iterations": cfg.iterations,
+        "train_steps": steps,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print("[cotracker] held-out:", json.dumps(agg), flush=True)
+
+    save_pytree(os.path.join(WEIGHTS_DIR, "cotracker.npz"),
+                {"params": params})
+    mpath = os.path.join(WEIGHTS_DIR, "metrics.json")
+    metrics_all = {}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            metrics_all = json.load(f)
+    metrics_all["cotracker"] = agg
+    with open(mpath, "w") as f:
+        json.dump(metrics_all, f, indent=2)
+    return agg
+
+
+if __name__ == "__main__":
+    import sys
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = int(v)
+    main(**kw)
