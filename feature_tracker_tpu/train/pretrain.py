@@ -990,9 +990,25 @@ def reference_pair_counts(detector, cap=300, max_valid=0.1):
             "median_err_px": med}
 
 
-def _count_key(counts):
-    """Gate ordering: correctness first, raw demo count as tiebreak."""
-    return (counts["verified"], counts["raw"])
+# BRIEF Hamming nearby-match raw count on the reference pair (300-cap
+# demo protocol, deterministic) — the classical anchor the learned
+# detectors are judged against (BASELINE.md "Neural matching accuracy").
+BRIEF_ANCHOR_RAW = 171
+
+
+def _count_key(counts, anchor_raw=None):
+    """Gate ordering: correctness first, raw demo count as tiebreak.
+
+    With ``anchor_raw`` (detector gates at the 300-cap protocol), staying
+    at-or-above the classical anchor's raw count is the FIRST axis: a
+    finetune may not trade raw matches below the anchor for a small
+    verified gain once the incumbent clears it (the round-3 DISK hinge
+    run shipped 185 raw -> 157, breaking the beats-the-anchor-on-both-
+    axes property, exactly this way)."""
+    key = (counts["verified"], counts["raw"])
+    if anchor_raw is not None:
+        key = (counts["raw"] >= anchor_raw,) + key
+    return key
 
 
 def reference_pair_match_count(detector, cap=300, max_valid=0.1):
@@ -1070,7 +1086,9 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
     def _key(counts):
         # None = reference mount absent: everything compares equal and
         # all gates pass (there is no judged pair to measure against).
-        return _count_key(counts) if counts else (-1, -1)
+        if not counts:
+            return (False, -1, -1)
+        return _count_key(counts, anchor_raw=BRIEF_ANCHOR_RAW)
 
     reused = (reuse or lg_only) and os.path.exists(sp_path)
     if reused:
@@ -1178,7 +1196,8 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
             if dc and os.path.exists(disk_path):
                 old_c = reference_pair_counts(
                     DiskDetector.from_file(disk_path, max_features=300))
-                if old_c and _count_key(dc) < _count_key(old_c):
+                if old_c and (_count_key(dc, BRIEF_ANCHOR_RAW)
+                              < _count_key(old_c, BRIEF_ANCHOR_RAW)):
                     print(f"[disk] ship REJECTED: fresh {dc} < on-disk "
                           f"{old_c}; keeping existing weights",
                           flush=True)

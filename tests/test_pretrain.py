@@ -145,3 +145,25 @@ def test_klt_verified_counts_correct_and_garbage_matches():
     v_all, med_all = _klt_verified(img, cur, ruv, true_uv, matched)
     assert v_all == n
     assert med_all < 1.0
+
+
+def test_count_key_anchor_floor():
+    """The detector ship gate may not trade the raw count below the
+    classical BRIEF anchor for a small verified gain (the r3 DISK hinge
+    regression), but below the anchor the (verified, raw) ordering
+    still applies."""
+    from feature_tracker_tpu.train.pretrain import _count_key
+
+    incumbent = {"verified": 135, "raw": 185}
+    hinge = {"verified": 138, "raw": 157}
+    # Plain ordering would ship the trade...
+    assert _count_key(hinge) > _count_key(incumbent)
+    # ...the anchor-floored detector gate refuses it.
+    assert _count_key(hinge, 171) < _count_key(incumbent, 171)
+    # Both sides above the anchor: verified-first ordering as before.
+    better = {"verified": 140, "raw": 180}
+    assert _count_key(better, 171) > _count_key(incumbent, 171)
+    # Both below: ordering unchanged (SuperPoint regime).
+    a = {"verified": 81, "raw": 87}
+    b = {"verified": 87, "raw": 93}
+    assert _count_key(b, 171) > _count_key(a, 171)
