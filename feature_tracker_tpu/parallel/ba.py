@@ -51,6 +51,13 @@ class BaOptions:
     # up to global scale (sufficient with metric depth); 2 also pins the
     # monocular scale freedom.
     num_fixed_poses: int = 1
+    # Metric anchoring: quadratic prior pulling each landmark toward its
+    # INITIAL position, weight in (px/m)^2 against the pixel residuals.
+    # 0 = pure monocular BA (scale is a gauge freedom unless
+    # num_fixed_poses >= 2); > 0 = depth-seeded windows (stereo/RGBD
+    # disparity) keep their metric scale, e.g. 10-100 for KITTI-scale
+    # scenes (jacobian entries fx/z ~ 10-150 px/m).
+    landmark_prior: float = 0.0
 
 
 def project(p_c, k4):
@@ -118,27 +125,44 @@ def _jacobians(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4):
 
 @partial(jax.jit, static_argnames=("opts",))
 def ba_step(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4,
-            opts: BaOptions = BaOptions()):
+            opts: BaOptions = BaOptions(), landmarks0=None):
     """One damped Gauss-Newton step with Schur elimination of landmarks.
 
-    Returns (q_cw, t_cw, landmarks) updated."""
+    ``landmarks0`` (with ``opts.landmark_prior > 0``) anchors landmarks
+    to their initial metric positions. Returns (q_cw, t_cw, landmarks)
+    updated."""
     # Normal equations are ill-conditioned; the TPU MXU's default bf16
     # matmul precision diverges here — force full float32 contractions.
+    if landmarks0 is None:
+        landmarks0 = landmarks
     with jax.default_matmul_precision("float32"):
         return _ba_step_f32(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv,
-                            obs_mask, k4, opts)
+                            obs_mask, k4, opts, landmarks0)
 
 
 def _ba_step_f32(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4,
-                 opts: BaOptions):
+                 opts: BaOptions, landmarks0):
     num_poses = q_cw.shape[0]
     r, j_pose, j_lm, _ = _jacobians(q_cw, t_cw, landmarks, obs_pose_idx,
                                     obs_uv, obs_mask, k4)
 
     # Landmark-block quantities (all vmapped over the sharded L axis).
-    a_l = (jnp.einsum("loik,loij->lkj", j_lm, j_lm)
-           + opts.landmark_damping * jnp.eye(3))                 # [L,3,3]
+    # Damping is RELATIVE (Levenberg-Marquardt lambda*diag(A) + floor):
+    # at pixel-unit jacobian scales (fx ~ 700, A entries ~ 1e5) an
+    # absolute 1e-4 ridge is below f32 rounding of the Gram product, and
+    # a landmark seen from identical poses (rank-2 A) inverts to NaN —
+    # which the dx NaN guard then silently turns into a zero step.
+    a_l = jnp.einsum("loik,loij->lkj", j_lm, j_lm)               # [L,3,3]
+    lm_scale = jnp.diagonal(a_l, axis1=1, axis2=2)               # [L,3]
+    a_l = a_l + jnp.eye(3) * (opts.landmark_damping * lm_scale
+                              + opts.landmark_damping)[:, None, :]
     g_l = -jnp.einsum("loik,loi->lk", j_lm, r)                   # [L,3]
+    if opts.landmark_prior > 0.0:
+        # Quadratic metric prior 0.5*w*|lm - lm0|^2: normal equations
+        # gain w*I on A and -w*(lm - lm0) on g (W/B untouched, so the
+        # Schur elimination below absorbs it unchanged).
+        a_l = a_l + opts.landmark_prior * jnp.eye(3)
+        g_l = g_l - opts.landmark_prior * (landmarks - landmarks0)
     w = jnp.einsum("loik,loij->lokj", j_pose, j_lm)              # [L,O,6,3]
     b_blk = jnp.einsum("loik,loij->lokj", j_pose, j_pose)        # [L,O,6,6]
     c = -jnp.einsum("loik,loi->lok", j_pose, r)                  # [L,O,6]
@@ -164,7 +188,10 @@ def _ba_step_f32(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4,
     b_p = b_p.at[obs_pose_idx].add(rhs)
 
     diag = jnp.arange(num_poses)
-    h_pp = h_pp.at[diag, diag].add(opts.pose_damping * jnp.eye(6))
+    pose_scale = jnp.diagonal(h_pp[diag, diag], axis1=1, axis2=2)  # [P,6]
+    h_pp = h_pp.at[diag, diag].add(
+        jnp.eye(6) * (opts.pose_damping * pose_scale
+                      + opts.pose_damping)[:, None, :])
 
     if opts.num_fixed_poses > 0:
         # Gauge: freeze the first K poses (zero rows/cols, identity diag).
@@ -204,11 +231,13 @@ def bundle_adjust(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4,
     obs_mask = jnp.asarray(obs_mask, bool)
     k4 = jnp.asarray(k4, jnp.float32)
 
+    landmarks0 = landmarks
     rms = [reprojection_rms(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv,
                             obs_mask, k4)]
     for _ in range(opts.max_iterations):
         q_cw, t_cw, landmarks = ba_step(q_cw, t_cw, landmarks, obs_pose_idx,
-                                        obs_uv, obs_mask, k4, opts)
+                                        obs_uv, obs_mask, k4, opts,
+                                        landmarks0)
         rms.append(reprojection_rms(q_cw, t_cw, landmarks, obs_pose_idx,
                                     obs_uv, obs_mask, k4))
     return q_cw, t_cw, landmarks, jnp.stack(rms)

@@ -359,3 +359,40 @@ def test_measure_ba_scaling_runs_and_reports():
     assert out["step_ms_8dev_flat"] > 0
     assert "analytic" in out and out["analytic"]["psum_bytes"] > 0
     assert out["step_ms_8dev_flat"] < 3.0 * out["step_ms_1dev"] + 50.0
+
+
+def test_bundle_adjust_kitti_scale_identity_init():
+    """Regression (r3 slam demo): at pixel-unit jacobian scales
+    (fx ~ 700, Gram entries ~ 1e5) the old ABSOLUTE 1e-4 damping was
+    below f32 rounding — a landmark observed from identical initial
+    poses has a rank-2 system, inv() went NaN and the NaN guard silently
+    zeroed the whole step (poses frozen at identity forever). Relative
+    (LM) damping + the metric landmark prior must recover a KITTI-scale
+    forward trajectory from all-identity initialization."""
+    rng = np.random.default_rng(3)
+    fx = fy = 718.856
+    cx, cy = 607.2, 185.2
+    k4 = np.array([fx, fy, cx, cy], np.float32)
+    n_lm, n_pose = 120, 5
+    depth = rng.uniform(5, 60, n_lm)
+    u = rng.uniform(100, 1140, n_lm)
+    v = rng.uniform(50, 330, n_lm)
+    lm0 = np.stack([(u - cx) / fx * depth, (v - cy) / fy * depth,
+                    depth], -1).astype(np.float32)
+    t_true = np.stack([[0.0, 0.0, -0.8 * k] for k in range(n_pose)],
+                      0).astype(np.float32)
+    idx = np.tile(np.arange(n_pose, dtype=np.int32)[None], (n_lm, 1))
+    p_c = lm0[:, None, :] + t_true[None]
+    uv = np.stack([fx * p_c[..., 0] / p_c[..., 2] + cx,
+                   fy * p_c[..., 1] / p_c[..., 2] + cy],
+                  -1).astype(np.float32)
+    mask = ((np.abs(uv[..., 0] - cx) < cx)
+            & (np.abs(uv[..., 1] - cy) < cy))
+
+    q0 = np.tile(np.array([1, 0, 0, 0], np.float32), (n_pose, 1))
+    q, t, lm, rms = bundle_adjust(
+        q0, np.zeros((n_pose, 3), np.float32), lm0, idx, uv, mask, k4,
+        BaOptions(max_iterations=15, landmark_prior=30.0))
+    assert float(rms[-1]) < 0.05, np.asarray(rms)
+    # Metric trajectory recovered from identity init (not a scaled copy).
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=0.02)
