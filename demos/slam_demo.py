@@ -95,7 +95,7 @@ def main():
                                            max_landmarks=512,
                                            obs_per_landmark=len(frames)),
                           BaOptions(max_iterations=20,
-                                    landmark_prior=30.0))
+                                    landmark_prior=30.0, huber_px=2.0))
 
     kf_slots = [wba.add_keyframe([1, 0, 0, 0], [0, 0, 0])
                 for _ in frames]

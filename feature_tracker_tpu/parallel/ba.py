@@ -58,6 +58,11 @@ class BaOptions:
     # disparity) keep their metric scale, e.g. 10-100 for KITTI-scale
     # scenes (jacobian entries fx/z ~ 10-150 px/m).
     landmark_prior: float = 0.0
+    # Robust kernel: Huber width in pixels (0 = pure L2). Applied as
+    # IRLS — each observation's residual/jacobians are scaled by
+    # sqrt(min(1, huber_px/|r|)) before the normal equations, so
+    # outlier tracks (occlusions, disparity edges) stop dominating.
+    huber_px: float = 0.0
 
 
 def project(p_c, k4):
@@ -145,6 +150,14 @@ def _ba_step_f32(q_cw, t_cw, landmarks, obs_pose_idx, obs_uv, obs_mask, k4,
     num_poses = q_cw.shape[0]
     r, j_pose, j_lm, _ = _jacobians(q_cw, t_cw, landmarks, obs_pose_idx,
                                     obs_uv, obs_mask, k4)
+    if opts.huber_px > 0.0:
+        # IRLS Huber weights per observation (scale r and J by sqrt(w)).
+        rn = jnp.linalg.norm(r, axis=-1)                         # [L,O]
+        sw = jnp.sqrt(jnp.minimum(1.0, opts.huber_px
+                                  / jnp.maximum(rn, 1e-6)))
+        r = r * sw[..., None]
+        j_pose = j_pose * sw[..., None, None]
+        j_lm = j_lm * sw[..., None, None]
 
     # Landmark-block quantities (all vmapped over the sharded L axis).
     # Damping is RELATIVE (Levenberg-Marquardt lambda*diag(A) + floor):

@@ -396,3 +396,42 @@ def test_bundle_adjust_kitti_scale_identity_init():
     assert float(rms[-1]) < 0.05, np.asarray(rms)
     # Metric trajectory recovered from identity init (not a scaled copy).
     np.testing.assert_allclose(np.asarray(t), t_true, atol=0.02)
+
+
+def test_bundle_adjust_huber_downweights_outliers():
+    """One grossly corrupted observation must not drag the solution:
+    with the Huber kernel the recovered trajectory stays metric-true
+    despite a 60 px outlier; pure L2 visibly bends toward it."""
+    rng = np.random.default_rng(4)
+    fx = fy = 718.856
+    cx, cy = 607.2, 185.2
+    k4 = np.array([fx, fy, cx, cy], np.float32)
+    n_lm, n_pose = 80, 4
+    depth = rng.uniform(5, 50, n_lm)
+    u = rng.uniform(200, 1000, n_lm)
+    v = rng.uniform(60, 320, n_lm)
+    lm0 = np.stack([(u - cx) / fx * depth, (v - cy) / fy * depth,
+                    depth], -1).astype(np.float32)
+    t_true = np.stack([[0.0, 0.0, -0.8 * k] for k in range(n_pose)],
+                      0).astype(np.float32)
+    idx = np.tile(np.arange(n_pose, dtype=np.int32)[None], (n_lm, 1))
+    p_c = lm0[:, None, :] + t_true[None]
+    uv = np.stack([fx * p_c[..., 0] / p_c[..., 2] + cx,
+                   fy * p_c[..., 1] / p_c[..., 2] + cy],
+                  -1).astype(np.float32)
+    mask = np.ones(uv.shape[:2], bool)
+    uv_bad = uv.copy()
+    uv_bad[:8, 1:] += 60.0  # 8 corrupted tracks
+
+    q0 = np.tile(np.array([1, 0, 0, 0], np.float32), (n_pose, 1))
+    t0 = np.zeros((n_pose, 3), np.float32)
+    _, t_l2, _, _ = bundle_adjust(
+        q0, t0, lm0, idx, uv_bad, mask, k4,
+        BaOptions(max_iterations=15, landmark_prior=30.0))
+    _, t_hub, _, _ = bundle_adjust(
+        q0, t0, lm0, idx, uv_bad, mask, k4,
+        BaOptions(max_iterations=15, landmark_prior=30.0, huber_px=2.0))
+    err_l2 = np.abs(np.asarray(t_l2) - t_true).max()
+    err_hub = np.abs(np.asarray(t_hub) - t_true).max()
+    assert err_hub < 0.05, (err_hub, np.asarray(t_hub))
+    assert err_hub < err_l2 / 3.0, (err_hub, err_l2)
