@@ -573,8 +573,14 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
 
             def vec_iter(c):
                 xv, yv, stv, lastv, cntv, donev = c
-                xs_c = [jnp.sum(xv * onehots[k]) for k in range(b)]
-                ys_c = [jnp.sum(yv * onehots[k]) for k in range(b)]
+                # Static scalar extraction (v[0, k]) measured cheap on
+                # Mosaic (static value slicing is legal; see the op-cost
+                # notes in the module docstring) — the one-hot
+                # multiply+sum alternative costs ~19ns per reduce x 2b
+                # per iteration, a meaningful share of the per-feature
+                # advance budget.
+                xs_c = [xv[0, k] for k in range(b)]
+                ys_c = [yv[0, k] for k in range(b)]
                 u_all, loads, _ = smp.stacked_samples(cur_imgs[lvl],
                                                       xs_c, ys_c)
                 cs0m, cs1m, rects = qdt_fold(xs_c, ys_c, u_all, loads)
