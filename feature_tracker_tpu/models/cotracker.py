@@ -149,8 +149,14 @@ class FactorizedUpdate(nn.Module):
             # Across points: joint reasoning within each frame.
             tokens = AttnBlock(c.model_dim, c.num_heads, c.dtype,
                                name=f"point_{i}")(tokens)
-        delta = nn.Dense(2, dtype=jnp.float32, name="delta_head")(tokens)
-        vis = nn.Dense(1, dtype=jnp.float32, name="vis_head")(tokens)
+        # Zero-init refinement heads (RAFT-style): the untrained tracker
+        # predicts zero deltas, so iterative refinement starts from the
+        # query positions instead of compounding random offsets across
+        # iterations (x stride in pixels).
+        delta = nn.Dense(2, dtype=jnp.float32, name="delta_head",
+                         kernel_init=nn.initializers.zeros)(tokens)
+        vis = nn.Dense(1, dtype=jnp.float32, name="vis_head",
+                       kernel_init=nn.initializers.zeros)(tokens)
         return delta, vis[..., 0]
 
 
