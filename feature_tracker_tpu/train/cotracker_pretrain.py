@@ -116,7 +116,11 @@ def make_train_step(model, tx):
         pred, vis_logits = jax.vmap(
             lambda v, q: model.apply({"params": params}, v, q))(
                 video, queries)
-        err = jnp.linalg.norm(pred - tracks, axis=-1)          # [B, T, N]
+        d = pred - tracks
+        # Epsilon-smoothed norm: with zero-init heads the frame-0
+        # prediction EQUALS the target exactly, and d/dx |x| at 0 is
+        # NaN — plain linalg.norm NaNs the whole first gradient.
+        err = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-8)         # [B, T, N]
         huber = jnp.where(err < 4.0, 0.5 * err * err, 4.0 * err - 8.0)
         pos_loss = jnp.sum(huber * vis) / jnp.maximum(jnp.sum(vis), 1.0)
         vis_loss = jnp.mean(optax.sigmoid_binary_cross_entropy(

@@ -1071,6 +1071,9 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
     if os.path.exists(mpath):
         with open(mpath) as f:
             metrics = json.load(f)
+    # Snapshot for the merge-at-save diff (see the bottom of main).
+    metrics_at_start = {k: json.loads(json.dumps(v))
+                        for k, v in metrics.items()}
 
     sp_path = os.path.join(WEIGHTS_DIR, "superpoint.npz")
 
@@ -1277,6 +1280,19 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
             metrics["heldout_disk"] = evaluate_matching(
                 disk_det, lgd_model, lgd_params)
     metrics["wall_s"] = round(time.time() - t0, 1)
+    # Merge-at-save: another training driver (raft/cotracker pretrain)
+    # may have updated metrics.json while this run was going. Re-read the
+    # file and overlay only the keys THIS run changed, so concurrent
+    # updates to untouched keys survive (per-key last-writer-wins).
+    changed = {k: v for k, v in metrics.items()
+               if k not in metrics_at_start or metrics_at_start[k] != v}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            merged = json.load(f)
+    else:
+        merged = {}
+    merged.update(changed)
+    metrics = merged
     with open(mpath, "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2))
