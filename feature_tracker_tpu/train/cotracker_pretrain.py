@@ -152,9 +152,15 @@ def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros((t, h, w, 1)),
                         jnp.zeros((n_points, 2)))["params"]
+    # LR is the make-or-break knob at batch 2: without warmup the first
+    # adam steps throw the zero-init delta heads into a >10 px basin
+    # they never leave (step-0 EPE 3.5 = zero-motion baseline, step-25
+    # EPE 12.6, flat); with warmup to a 2e-4 peak the same divergence
+    # just happens at step ~75 (EPE 2.59 at step 25 first). 5e-5 peak
+    # stays in the learning regime.
     tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(optax.cosine_decay_schedule(3e-4, steps,
-                                                             0.05)))
+                     optax.adamw(optax.warmup_cosine_decay_schedule(
+                         0.0, 5e-5, max(steps // 6, 50), steps, 1e-6)))
     opt_state = tx.init(params)
     step = make_train_step(model, tx)
 
