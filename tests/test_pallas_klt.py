@@ -178,9 +178,12 @@ def test_qdt_fold_matches_slow_path():
                                            interpret=True,
                                            bias_mode="slow")
     st_s = np.asarray(st_s)
-    # qdt: scalar advance; qdtv: vector-lane advance, at both interleave
-    # widths (batch=8 puts the stacked fold at exactly 128 lanes).
-    for mode, batch in (("qdt", 4), ("qdtv", 4), ("qdtv", 8)):
+    # qdt: scalar advance; qdtv: vector-lane advance, across the
+    # interleave widths the TPU A/B sweeps (batch=8 puts the stacked
+    # fold at exactly 128 lanes; 16 exercises the multi-tile fold the
+    # real-chip sweep will compile).
+    for mode, batch in (("qdt", 4), ("qdtv", 4), ("qdtv", 8),
+                        ("qdtv", 16)):
         uv_q, st_q = track_pyramid_fast_pallas(opts, rp, cp, uv, uv,
                                                interpret=True,
                                                bias_mode=mode,
