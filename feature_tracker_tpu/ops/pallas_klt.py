@@ -410,20 +410,23 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
 
         if bias_mode in ("qdt", "qdtv"):
             # Lane-place each feature's (dx, dy, inner) at lanes
-            # [16k, 16k+pc) via ONE exact split matmul per feature
-            # (amortized over every iteration of the level). The
-            # outputs are canonical-layout, so the row concats below
-            # are legal.
+            # [16k, 16k+pc) via exact split matmuls (amortized over
+            # every iteration of the level). Each block is placed by
+            # its OWN matmul: dx/dy/inner come out of the setup with
+            # different internal Mosaic layout offsets, and a
+            # pre-matmul row concat of offset-mismatched vectors is
+            # rejected by the real compiler ("result/input offset
+            # mismatch on non-concat dimension" — interpret mode does
+            # not exercise layouts). The matmul re-materializes each
+            # output at canonical layout, so the row concats below are
+            # legal.
             dxs, dys, inns = [], [], []
             for k in range(b):
                 inner, _, dx, dy = setups[k][:4]
                 ek = _eye_place(smp.pc, 16 * k, 16 * b)
-                placed = _place_exact(
-                    jnp.concatenate([dx, dy, inner], axis=0), ek,
-                    precise)                            # [3*pr, 16b]
-                dxs.append(placed[:smp.pr])
-                dys.append(placed[smp.pr:2 * smp.pr])
-                inns.append(placed[2 * smp.pr:])
+                dxs.append(_place_exact(dx, ek, precise))
+                dys.append(_place_exact(dy, ek, precise))
+                inns.append(_place_exact(inner, ek, precise))
             # Row blocks sit at a 16-row stride: pad each feature's
             # pr-row block with zeros up to 16.
             def cat16(blocks):
@@ -600,11 +603,14 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 nvv = rowcnt * colcnt
                 vxv = (h11v * b0v - h01v * b1v) / detv
                 vyv = (h00v * b1v - h01v * b0v) / detv
-                upd, stv, lastv, cntv, donev = _advance(
-                    donev, stv, lastv, cntv, [vxv, vyv], nvv, opts)
+                upd, stv, lastv, cntv, done_b = _advance(
+                    donev != 0, stv, lastv, cntv, [vxv, vyv], nvv, opts)
+                # done travels as an int32 lane vector: Mosaic rejects
+                # materializing i1 vectors ("unsupported target
+                # bitwidth for truncation"); comparisons/masks are fine.
                 return (jnp.where(upd, xv + vxv, xv),
                         jnp.where(upd, yv + vyv, yv),
-                        stv, lastv, cntv, donev)
+                        stv, lastv, cntv, done_b.astype(jnp.int32))
 
             carry0v = (jnp.int32(0),
                        to_vec(xs, jnp.float32), to_vec(ys, jnp.float32),
@@ -613,11 +619,11 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                        jnp.full((1, b), jnp.inf, jnp.float32),
                        jnp.zeros((1, b), jnp.int32),
                        to_vec([setups[k][5] for k in range(b)],
-                              jnp.bool_))
+                              jnp.int32))
 
             def vcond(c):
                 return ((c[0] < opts.max_iterations)
-                        & jnp.logical_not(jnp.all(c[6])))
+                        & jnp.logical_not(jnp.all(c[6] != 0)))
 
             def vstep(c):
                 return (c[0] + 1,) + vec_iter(c[1:])
@@ -814,8 +820,14 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
             bias_mode = "identity" if use_identity else "slow"
         elif (not interpret and opts.patch_cols <= 16
               and opts.patch_rows <= 16):
-            # TODO(r3): flip to "qdt" once the fold is parity-validated
-            # and timed on the real chip (interpret parity is green).
+            # "identity" stays the compiled default: the r3 folds were
+            # timed on the real chip (2026-08-18, 10240 feats x 4
+            # levels) and ALL lose to it — identity b4 36.7 ms vs
+            # qdt b4 43.0 / b8 43.8, qdtv b4 48.1 / b8 40.3 / b16 57.4.
+            # The block-diagonal fold matmuls grow quadratically in the
+            # interleave width while only the diagonal is read, and the
+            # lane-vector state build (to_vec chains) costs more than
+            # the b scalar advance chains it replaces.
             bias_mode = "identity"
         else:
             bias_mode = "slow"
