@@ -160,7 +160,10 @@ class _RigidSampler:
         cw = jnp.maximum(
             0.0, 1.0 - jnp.abs(lx0 + self.c_j.astype(jnp.float32)
                                - self.c_c.astype(jnp.float32)))
-        u = _xdot(window, cw, ((1,), (1,)), self.precise)   # [win_r, pc]
+        # Pyramid levels are uint8-truncated integers (exact in bf16) —
+        # the window's lo split term is identically zero: 2-pass split.
+        u = _xdot(window, cw, ((1,), (1,)), self.precise,
+                  a_exact=True)                             # [win_r, pc]
         patch = _xdot(rw, u, ((1,), (0,)), self.precise)    # [pr, pc]
         valid = self.validity_at(x, y)
         return jnp.where(valid, patch, 0.0), valid
@@ -229,7 +232,10 @@ class _RigidSampler:
         lx0s = [xs[k] - self.pc // 2 - loads[k][2].astype(jnp.float32)
                 for k in range(b)]
         cw_all = self.stacked_col_weights(lx0s, stride)
-        u_all = _xdot(wins_all, cw_all, ((1,), (1,)), self.precise)
+        # Stacked windows are uint8-truncated integers — exact in bf16,
+        # so the lo x hi split pass is a zero matrix and is dropped.
+        u_all = _xdot(wins_all, cw_all, ((1,), (1,)), self.precise,
+                      a_exact=True)
         return u_all, loads, stride
 
     def stacked_row_weights_t(self, ly0_list, ci_lo_list, ci_hi_list):

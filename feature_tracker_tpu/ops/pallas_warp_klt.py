@@ -58,24 +58,39 @@ def _split2(x):
     return hi, lo
 
 
-def _xdot(a, b, dims, precise: bool):
+def _xdot(a, b, dims, precise: bool,
+          a_exact: bool = False, b_exact: bool = False):
     """dot_general with either exact f32 (interpret / parity paths) or a
     3-pass split-bf16 product (compiled TPU path): hi/lo decomposition of
     both operands with the lo x lo term dropped — ~1e-3 gray-level
     accuracy on 0..255 imagery at half HIGHEST's MXU issue count (see
-    pallas_klt.py's kernel notes and the split error-bound test)."""
+    pallas_klt.py's kernel notes and the split error-bound test).
+
+    ``a_exact``/``b_exact`` declare an operand EXACTLY representable in
+    bfloat16 (integers |x| <= 256 — e.g. uint8-truncated pyramid levels,
+    0/+-1 one-hot extraction matrices): its lo part is identically zero,
+    so the corresponding split pass multiplies a zero matrix and is
+    dropped. Bit-identical to the 3-pass result, one fewer MXU pass."""
     dn = (dims, ((), ()))
     if precise:
         return jax.lax.dot_general(a, b, dn,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
-    ah, al = _split2(a)
-    bh, bl = _split2(b)
 
     def d(p, q):
         return jax.lax.dot_general(p, q, dn,
                                    preferred_element_type=jnp.float32)
 
+    if a_exact:
+        ah = a.astype(jnp.bfloat16)
+        bh, bl = _split2(b)
+        return d(ah, bh) + d(ah, bl)
+    if b_exact:
+        ah, al = _split2(a)
+        bh = b.astype(jnp.bfloat16)
+        return d(ah, bh) + d(al, bh)
+    ah, al = _split2(a)
+    bh, bl = _split2(b)
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
@@ -189,7 +204,10 @@ class _Sampler:
         # |v|^2 < 4e-2 convergence threshold on real imagery — so the
         # compiled path uses the 3-pass split product (exact f32 in
         # interpret mode).
-        s = _xdot(window, cwt, ((1,), (0,)), self.precise)  # [WIN_R, P]
+        # Pyramid levels are uint8-truncated integers (exact in bf16):
+        # the window's lo split term is identically zero — 2-pass split.
+        s = _xdot(window, cwt, ((1,), (0,)), self.precise,
+                  a_exact=True)                             # [WIN_R, P]
         val = jnp.sum(s * rwt, axis=0, keepdims=True)       # [1, P_pad]
 
         fx = jnp.floor(pos_x)
@@ -247,7 +265,9 @@ def ref_setup_shared(smp, exs, extractors, ref_img_pad, rx, ry):
     s_c_m, s_dx_m, s_dy_m = extractors
 
     def extract(mat):
-        return _xdot(ex_flat, mat, ((1,), (0,)), smp.precise)  # [1, P_pad]
+        # 0/+-1 one-hot extraction matrices are exact in bf16.
+        return _xdot(ex_flat, mat, ((1,), (0,)), smp.precise,
+                     b_exact=True)                          # [1, P_pad]
 
     v_c = smp.rect_valid(rx, ry, 0, 2)
     gvalid = smp.rect_valid(rx, ry, 1, 3)
@@ -267,6 +287,20 @@ def ref_setup_shared(smp, exs, extractors, ref_img_pad, rx, ry):
     n_valid_ref = (jnp.maximum(hi_r - lo_r + 1, 0)
                    * jnp.maximum(hi_c - lo_c + 1, 0))
     return s_c, v_c, dx, dy, n_valid_ref
+
+
+def _stack_rows(rows, p_pad):
+    """Stack [1, p_pad] vectors into an [8, p_pad] matrix (zero-filled
+    past len(rows)) via sublane broadcasts + selects. Row-concatenation
+    of vectors with mismatched internal layout offsets is rejected by
+    Mosaic ('result/input offset mismatch on non-concat dimension');
+    broadcast+select re-materializes each row at canonical layout."""
+    assert len(rows) <= 8
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, p_pad), 0)
+    out = jnp.zeros((8, p_pad), jnp.float32)
+    for k, r in enumerate(rows):
+        out = jnp.where(ri == k, jnp.broadcast_to(r, (8, p_pad)), out)
+    return out
 
 
 def iterate_until_done(body, carry0, max_iterations: int):
@@ -347,14 +381,25 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
             dvec = [1.0 / scl] * 4 + [jnp.float32(1.0)] * 2
             x0 = smp.offx + x_ent
             y0 = smp.offy + y_ent
-            j6 = [x0 * dx, x0 * dy, y0 * dx, y0 * dy, dx, dy]
-            hess = [[jnp.sum(j6[i] * j6[j]) * dvec[i] * dvec[j]
-                     for j in range(i + 1)] for i in range(6)]
-            for i in range(6):
-                hess[i] += [None] * (5 - i)
-            for i in range(6):
-                for j in range(i + 1, 6):
-                    hess[i][j] = hess[j][i]
+            # ONE gram matmul replaces the previous 21 lane-reduction
+            # sums: H8[i, j] = sum(j6_i * j6_j) over the patch lanes.
+            j8 = _stack_rows([x0 * dx, x0 * dy, y0 * dx, y0 * dy, dx, dy],
+                             smp.p_pad)
+            # Exact f32: the equilibrated 6x6 still carries cond >> 1e3,
+            # so split-bf16 gram error poisons the Cholesky (measured:
+            # tracked 8656 -> 7441 on the 10240-feature bench).
+            h8 = _xdot(j8, j8, ((1,), (1,)), True)
+            hess = [[h8[i, j] * dvec[i] * dvec[j] for j in range(6)]
+                    for i in range(6)]
+            # Bias base rows: the per-iteration jacobian is
+            # xw*dx = (c00*offx + c01*offy + x)*dx etc., so the 6 bias
+            # sums decompose over 6 FIXED vectors with per-iteration
+            # scalar coefficients — one [1,P]x[8,P]^T matvec per
+            # iteration instead of 6 masked product + lane-reduce
+            # chains (the measured per-iteration hot spot).
+            m8 = _stack_rows([smp.offx * dx, smp.offy * dx,
+                              smp.offx * dy, smp.offy * dy, dx, dy],
+                             smp.p_pad)
 
             no_pixels = n_ref == 0
 
@@ -367,11 +412,18 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                 curv, okcur = smp.sample(window, wr0, wc0, wx, wy)
                 valid = okcur & inner_valid
                 dt = jnp.where(valid, curv - inner, 0.0)
-                xw = jnp.where(valid, wx, 0.0)
-                yw = jnp.where(valid, wy, 0.0)
-                b = [-jnp.sum(dt * xw * dx), -jnp.sum(dt * xw * dy),
-                     -jnp.sum(dt * yw * dx), -jnp.sum(dt * yw * dy),
-                     -jnp.sum(dt * dx), -jnp.sum(dt * dy)]
+                # Exact f32 (see the gram note): the GN step is b
+                # through the ill-conditioned solve; [1,P]x[8,P]^T at
+                # HIGHEST is ~2 MXU issues per pass — still far cheaper
+                # than the 6 lane-reduce chains it replaces.
+                s8 = _xdot(dt, m8, ((1,), (1,)), True)        # [1, 8]
+                s1, s2, s3 = s8[0, 0], s8[0, 1], s8[0, 2]
+                s4, s5, s6 = s8[0, 3], s8[0, 4], s8[0, 5]
+                b = [-(c00 * s1 + c01 * s2 + x * s5),
+                     -(c00 * s3 + c01 * s4 + x * s6),
+                     -(c10 * s1 + c11 * s2 + y * s5),
+                     -(c10 * s3 + c11 * s4 + y * s6),
+                     -s5, -s6]
                 w = _chol_solve(hess, [b[i] * dvec[i] for i in range(6)])
                 z = [w[i] * dvec[i] for i in range(6)]
                 vx = z[0] * x + z[2] * y + z[4]
@@ -438,6 +490,16 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
             py = ry + smp.offy
             jrx = -py        # d(pos)/dtheta = R @ (-row, col)
             jry = px
+            # jtheta = dx*(c00*jrx + c01*jry) + dy*(c10*jrx + c11*jry)
+            # is a per-iteration scalar combination of 4 FIXED vectors,
+            # so every gram/bias sum of the 3x3 GN system decomposes
+            # over the setup-time row stack V8 = [t1..t4, dx, dy, 1]:
+            # ONE masked gram matmul + one residual matvec per iteration
+            # replaces the previous ~10 masked product + lane-reduce
+            # chains (num_valid = G[6,6] falls out of the same gram).
+            v8 = _stack_rows([dx * jrx, dx * jry, dy * jrx, dy * jry,
+                              dx, dy, smp.p_mask.astype(jnp.float32)],
+                             smp.p_pad)
             no_pixels = n_ref == 0
 
             def body(_, carry):
@@ -459,21 +521,28 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                     cur_patch = cur_patch / cur_mean
                 valid = okcur & inner_valid
                 residual = jnp.where(valid, cur_patch - inner, 0.0)
-                jt_x = c00 * jrx + c01 * jry
-                jt_y = c10 * jrx + c11 * jry
-                jtheta = jnp.where(valid, dx * jt_x + dy * jt_y, 0.0)
-                jdx = jnp.where(valid, dx, 0.0)
-                jdy = jnp.where(valid, dy, 0.0)
-                hess = [[jnp.sum(jtheta * jtheta)],
-                        [jnp.sum(jdx * jtheta), jnp.sum(jdx * jdx)],
-                        [jnp.sum(jdy * jtheta), jnp.sum(jdy * jdx),
-                         jnp.sum(jdy * jdy)]]
-                h3 = [[hess[max(i, j)][min(i, j)] for j in range(3)]
-                      for i in range(3)]
-                b = [-jnp.sum(jtheta * residual), -jnp.sum(jdx * residual),
-                     -jnp.sum(jdy * residual)]
+                validf = valid.astype(jnp.float32)
+                vm = v8 * jnp.broadcast_to(validf, v8.shape)
+                # G[i, j] = sum(valid * v_i * v_j) (valid^2 == valid, so
+                # masking one side counts it exactly once).
+                # Exact f32: jrx/jry carry absolute coordinates, so the
+                # unequilibrated 3x3 has cond >> 1e3 — split-bf16 gram
+                # error would poison the Cholesky (see the affine note).
+                g = _xdot(vm, v8, ((1,), (1,)), True)         # [8, 8]
+                bv = _xdot(residual, v8, ((1,), (1,)), True)  # [1, 8]
+                a4 = [c00, c01, c10, c11]
+                ga = [sum(a4[j] * g[i, j] for j in range(4))
+                      for i in range(4)]
+                h_tt = sum(a4[i] * ga[i] for i in range(4))
+                h_xt = sum(a4[i] * g[4, i] for i in range(4))
+                h_yt = sum(a4[i] * g[5, i] for i in range(4))
+                h3 = [[h_tt, h_xt, h_yt],
+                      [h_xt, g[4, 4], g[4, 5]],
+                      [h_yt, g[5, 4], g[5, 5]]]
+                b = [-sum(a4[i] * bv[0, i] for i in range(4)),
+                     -bv[0, 4], -bv[0, 5]]
                 v = _chol_solve(h3, b)
-                num_valid = jnp.sum(valid.astype(jnp.int32))
+                num_valid = g[6, 6].astype(jnp.int32)
                 upd, status, last_sq, cnt, done = _advance(
                     done, status, last_sq, cnt, v, num_valid, opts)
                 # rot @ [[1, -v0], [v0, 1]], then whole-matrix division by
