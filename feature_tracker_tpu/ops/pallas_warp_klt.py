@@ -97,7 +97,14 @@ def _xdot(a, b, dims, precise: bool,
 def _chol_solve(h, b):
     """Unrolled scalar Cholesky solve; h is a list-of-lists (lower half
     used), b a list. Returns list x with H x = b; NaN if H not SPD."""
-    n = len(b)
+    return _chol_solve_factored(_chol_factor(h, len(b)), b)
+
+
+def _chol_factor(h, n):
+    """Unrolled scalar Cholesky factor (lower half of h used); NaN on a
+    non-SPD h. Split from the solve so a setup-constant system (affine's
+    per-level Hessian) factors ONCE instead of every GN iteration —
+    arithmetic is bit-identical to the previous fused _chol_solve."""
     low = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
@@ -108,6 +115,11 @@ def _chol_solve(h, b):
                 low[i][j] = jnp.sqrt(acc)
             else:
                 low[i][j] = acc / low[j][j]
+    return low
+
+
+def _chol_solve_factored(low, b):
+    n = len(b)
     y = [None] * n
     for i in range(n):
         acc = b[i]
@@ -391,6 +403,10 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
             h8 = _xdot(j8, j8, ((1,), (1,)), True)
             hess = [[h8[i, j] * dvec[i] * dvec[j] for j in range(6)]
                     for i in range(6)]
+            # H is anchored at the level-entry position, so its Cholesky
+            # factor is iteration-invariant: factor ONCE here (6 sqrts +
+            # 15 divs + the elimination chain leave the loop body).
+            hess_low = _chol_factor(hess, 6)
             # Bias base rows: the per-iteration jacobian is
             # xw*dx = (c00*offx + c01*offy + x)*dx etc., so the 6 bias
             # sums decompose over 6 FIXED vectors with per-iteration
@@ -424,7 +440,8 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                      -(c10 * s1 + c11 * s2 + y * s5),
                      -(c10 * s3 + c11 * s4 + y * s6),
                      -s5, -s6]
-                w = _chol_solve(hess, [b[i] * dvec[i] for i in range(6)])
+                w = _chol_solve_factored(
+                    hess_low, [b[i] * dvec[i] for i in range(6)])
                 z = [w[i] * dvec[i] for i in range(6)]
                 vx = z[0] * x + z[2] * y + z[4]
                 vy = z[1] * x + z[3] * y + z[5]
