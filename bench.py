@@ -73,24 +73,78 @@ def _load_pair():
     return ref, cur
 
 
-def _time_scalar_step(step, floor_fn, iters=5, rounds=3):
-    """Best-of compute-only timing: ``step(s)`` and ``floor_fn(s)`` take a
-    fresh scalar perturbation and return device scalars; the dispatch
-    floor is subtracted. Returns seconds per call."""
+def _time_scalar_step(run, floor_run, iters=5, rounds=3, max_inner=256):
+    """Best-of compute-only timing with a sub-ms dispatch-floor guard.
+
+    ``run(s)`` / ``floor_run(s)`` take a fresh scalar perturbation and
+    return a device scalar; both are jitted here. The measured dispatch
+    floor is subtracted. Floor subtraction is only meaningful when the
+    raw timing clears the floor by a wide margin — round 3 recorded a
+    fictional 0.001 ms LightGlue row because a ~0.3 ms workload drowned
+    in ~30 ms of tunnel dispatch. When dt_raw < 5x floor, the workload is
+    re-timed CHAINED: ``inner`` sequential evaluations run inside ONE
+    jitted fori_loop (data-dependent carry, so XLA cannot collapse or
+    parallelize them) and one dispatch amortizes over all of them.
+
+    Returns (seconds_per_call, info dict for the metric's ``extra``)."""
+    import jax
+    import jax.numpy as jnp
+
+    step = jax.jit(run)
+    floor_fn = jax.jit(floor_run)
     _ = float(step(0.0))
     _ = float(floor_fn(0.0))
-    dt = float("inf")
-    floor = float("inf")
-    for w_i in range(rounds):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            _ = float(step(0.01 * (w_i * iters + i + 1)))
-        dt = min(dt, (time.perf_counter() - t0) / iters)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            _ = float(floor_fn(0.01 * (w_i * iters + i + 1)))
-        floor = min(floor, (time.perf_counter() - t0) / iters)
-    return max(dt - floor, 1e-6)
+
+    def best(fn):
+        b = float("inf")
+        for w_i in range(rounds):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                _ = float(fn(0.01 * (w_i * iters + i + 1)))
+            b = min(b, (time.perf_counter() - t0) / iters)
+        return b
+
+    floor = best(floor_fn)
+    dt_raw = best(step)
+    info = {"floor_ms": round(floor * 1e3, 3),
+            "dt_raw_ms": round(dt_raw * 1e3, 3), "inner_repeat": 1}
+    if dt_raw >= 5.0 * floor:
+        info["floor_guard"] = "raw>=5x_floor"
+        return max(dt_raw - floor, 1e-9), info
+
+    def time_chained(inner):
+        def chained(s):
+            def body(i, c):
+                return (run(c * 1e-20 + 0.01 * (i + 1))
+                        * 1e-20 + c).astype(jnp.float32)
+            return jax.lax.fori_loop(0, inner, body, jnp.float32(s))
+
+        cstep = jax.jit(chained)
+        _ = float(cstep(0.0))
+        return best(cstep)
+
+    def pow2(x):
+        # Power-of-two inner counts keep the fori_loop program identical
+        # across runs (floor noise otherwise picks a fresh inner -> a
+        # fresh multi-minute tunnel compile every bench invocation).
+        return 1 << max(1, int(math.ceil(math.log2(x))))
+
+    est = max(dt_raw - floor, 1e-7)
+    inner = min(max_inner, pow2(max(2, 10.0 * floor / est)))
+    dt_c = time_chained(inner)
+    if dt_c < 5.0 * floor:
+        # First chain under-shot (the raw estimate was noise-dominated):
+        # re-estimate per-call cost from the chained run and escalate once.
+        est2 = max((dt_c - floor) / inner, 1e-8)
+        inner = min(16 * max_inner,
+                    max(2 * inner, pow2(7.5 * floor / est2)))
+        dt_c = time_chained(inner)
+    ok = dt_c >= 5.0 * floor
+    info.update({"inner_repeat": inner,
+                 "dt_chain_ms": round(dt_c * 1e3, 3),
+                 "floor_guard": "chained" if ok
+                 else "chained_still_below_5x_floor"})
+    return max((dt_c - floor) / inner, 1e-9), info
 
 
 def _emit(metric, value, unit, vs_baseline, extra=None):
@@ -125,10 +179,9 @@ def w_basic_klt():
     tracked = int((np.asarray(status) == 1).sum())
 
     uv_dev = jnp.asarray(uv)
-    step = jax.jit(lambda s: jnp.sum(
-        tracker.track(ref_pyr, cur_pyr, uv_dev + s)[0]))
-    floor_fn = jax.jit(lambda s: jnp.sum(uv_dev + s))
-    dt = _time_scalar_step(step, floor_fn)
+    dt, tinfo = _time_scalar_step(
+        lambda s: jnp.sum(tracker.track(ref_pyr, cur_pyr, uv_dev + s)[0]),
+        lambda s: jnp.sum(uv_dev + s))
     feats_per_s = n / dt
 
     # Measured single-thread CPU baseline (same workload, same machine).
@@ -152,7 +205,7 @@ def w_basic_klt():
           {"n_features": n, "tracked": tracked,
            "ms_per_call": round(dt * 1e3, 3),
            "cpu_baseline_features_per_s": round(cpu_feats_per_s, 1),
-           "cpu_tracked": cpu_tracked})
+           "cpu_tracked": cpu_tracked, **tinfo})
 
 
 def _warp_klt(kind):
@@ -177,14 +230,38 @@ def _warp_klt(kind):
     tracked = int((np.asarray(status) == 1).sum())
 
     uv_dev = jnp.asarray(uv)
-    step = jax.jit(lambda s: jnp.sum(
-        tracker.track(ref_pyr, cur_pyr, uv_dev + s)[0]))
-    floor_fn = jax.jit(lambda s: jnp.sum(uv_dev + s))
-    dt = _time_scalar_step(step, floor_fn)
-    _emit(f"{kind}_ms_per_call", dt * 1e3, "ms",
-          R1_ANCHOR_MS[kind] / (dt * 1e3),
+    dt, tinfo = _time_scalar_step(
+        lambda s: jnp.sum(tracker.track(ref_pyr, cur_pyr, uv_dev + s)[0]),
+        lambda s: jnp.sum(uv_dev + s))
+
+    # Measured single-thread CPU baseline (same native port family the
+    # headline uses — VERDICT r3: vs_baseline must mean the same thing
+    # across the whole KLT matrix).
+    try:
+        from feature_tracker_tpu.runtime import cpu_baseline
+        cpu_fn = (cpu_baseline.klt_affine_fast_cpu if kind == "affine_klt"
+                  else cpu_baseline.klt_lssd_fast_cpu)
+        rp = [np.asarray(l) for l in ref_pyr]
+        cp = [np.asarray(l) for l in cur_pyr]
+        cpu_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, cpu_st = cpu_fn(rp, cp, uv, opts=tracker.options)
+            cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+        cpu_ms = cpu_dt * 1e3
+        cpu_tracked = int((cpu_st == 1).sum())
+    except Exception:
+        cpu_ms, cpu_tracked = -1.0, -1
+
+    vs = (cpu_ms / (dt * 1e3)) if cpu_ms > 0 \
+        else R1_ANCHOR_MS[kind] / (dt * 1e3)
+    _emit(f"{kind}_ms_per_call", dt * 1e3, "ms", vs,
           {"n_features": n, "tracked": tracked,
-           "features_per_s": round(n / dt, 1)})
+           "features_per_s": round(n / dt, 1),
+           "cpu_baseline_ms": round(cpu_ms, 1),
+           "cpu_tracked": cpu_tracked,
+           "vs_r1_anchor": round(R1_ANCHOR_MS[kind] / (dt * 1e3), 3),
+           **tinfo})
 
 
 def w_affine_klt():
@@ -209,13 +286,12 @@ def w_farneback():
     cp = build_pyramid(jnp.asarray(cur), 5, quantize=False)
     flow_fn = DenseOpticalFlow(DenseFlowOptions(half_patch_size=2,
                                                 max_iterations=20)).track
-    step = jax.jit(lambda s: jnp.sum(
-        flow_fn(rp, tuple(l + s for l in cp))))
-    floor_fn = jax.jit(lambda s: jnp.sum(cp[0] + s))
-    dt = _time_scalar_step(step, floor_fn)
+    dt, tinfo = _time_scalar_step(
+        lambda s: jnp.sum(flow_fn(rp, tuple(l + s for l in cp))),
+        lambda s: jnp.sum(cp[0] + s))
     _emit("farneback_ms_per_frame", dt * 1e3, "ms",
           R1_ANCHOR_MS["farneback"] / (dt * 1e3),
-          {"resolution": "752x480", "fps": round(1.0 / dt, 2)})
+          {"resolution": "752x480", "fps": round(1.0 / dt, 2), **tinfo})
 
 
 def w_direct():
@@ -259,12 +335,31 @@ def w_direct():
                                     p_dev + s * 1e-4, ref_uv)
         return jnp.sum(uv) + jnp.sum(q) + jnp.sum(p)
 
-    step = jax.jit(run)
-    floor_fn = jax.jit(lambda s: jnp.sum(p_dev + s))
-    dt = _time_scalar_step(step, floor_fn)
-    _emit("direct_ms_per_frame", dt * 1e3, "ms",
-          R1_ANCHOR_MS["direct"] / (dt * 1e3),
-          {"resolution": f"{w}x{h}", "points": 300})
+    dt, tinfo = _time_scalar_step(run, lambda s: jnp.sum(p_dev + s))
+
+    # Measured single-thread CPU baseline (native direct-method port).
+    try:
+        from feature_tracker_tpu.runtime.cpu_baseline import (
+            direct_method_cpu,
+        )
+        rp = [np.asarray(l) for l in ref_pyr]
+        cp = [np.asarray(l) for l in cur_pyr]
+        cpu_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            direct_method_cpu(rp, cp, k4, p_c_ref, ref_uv)
+            cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+        cpu_ms = cpu_dt * 1e3
+    except Exception:
+        cpu_ms = -1.0
+
+    vs = (cpu_ms / (dt * 1e3)) if cpu_ms > 0 \
+        else R1_ANCHOR_MS["direct"] / (dt * 1e3)
+    _emit("direct_ms_per_frame", dt * 1e3, "ms", vs,
+          {"resolution": f"{w}x{h}", "points": 300,
+           "cpu_baseline_ms": round(cpu_ms, 1),
+           "vs_r1_anchor": round(R1_ANCHOR_MS["direct"] / (dt * 1e3), 3),
+           **tinfo})
 
 
 def w_brief_match():
@@ -312,13 +407,11 @@ def w_brief_match():
                        max_col_distance=50.0, max_row_distance=50.0)
     _, st0 = fill_matched_pixels(idx, cur_uv)
     matched = int((np.asarray(st0) == 1).sum())
-    step = jax.jit(run)
-    floor_fn = jax.jit(lambda s: jnp.sum(cur_j + s))
-    dt = _time_scalar_step(step, floor_fn)
+    dt, tinfo = _time_scalar_step(run, lambda s: jnp.sum(cur_j + s))
     _emit("brief_pipeline_ms", dt * 1e3, "ms",
           R1_ANCHOR_MS["brief_match"] / (dt * 1e3),
           {"pipeline": "detect+describe+nearby_match", "cap": n_cap,
-           "matched": matched})
+           "matched": matched, **tinfo})
 
 
 def w_lightglue():
@@ -346,12 +439,10 @@ def w_lightglue():
                                    dc, mask)
         return jnp.sum(scores)
 
-    step = jax.jit(run)
-    floor_fn = jax.jit(lambda s: jnp.sum(dr + s))
-    dt = _time_scalar_step(step, floor_fn)
+    dt, tinfo = _time_scalar_step(run, lambda s: jnp.sum(dr + s))
     _emit("lightglue_ms_per_pair", dt * 1e3, "ms",
           R1_ANCHOR_MS["lightglue"] / (dt * 1e3),
-          {"keypoints": n, "depth": cfg.depth})
+          {"keypoints": n, "depth": cfg.depth, **tinfo})
 
 
 def w_raft():
@@ -372,13 +463,12 @@ def w_raft():
         flows = model.apply(variables, ref, cur + s)
         return jnp.sum(flows[-1])
 
-    step = jax.jit(run)
-    floor_fn = jax.jit(lambda s: jnp.sum(cur + s))
-    dt = _time_scalar_step(step, floor_fn, iters=2, rounds=2)
+    dt, tinfo = _time_scalar_step(run, lambda s: jnp.sum(cur + s),
+                                  iters=2, rounds=2)
     _emit("raft_ms_per_frame", dt * 1e3, "ms",
           R1_ANCHOR_MS["raft"] / (dt * 1e3),
           {"resolution": f"{w}x{h}", "iterations": cfg.max_iterations,
-           "low_memory": True, "fps": round(1.0 / dt, 2)})
+           "low_memory": True, "fps": round(1.0 / dt, 2), **tinfo})
 
 
 def main():
