@@ -40,6 +40,15 @@ class KltOptions:
     patch_col_half_size: int = 6
     max_converge_step: float = 4e-2  # compared against SQUARED step norm
     method: KltMethod = KltMethod.FAST
+    # Declares the tracked images integer-valued (uint8-derived, like the
+    # reference's GrayImage buffers and build_pyramid's quantize=True
+    # output). The compiled Pallas samplers then drop the lo-split pass on
+    # image operands (exact in bf16). Set False when tracking on
+    # non-integer imagery (e.g. quantize=False pyramids): the samplers
+    # fall back to the full 3-pass split — without this, the dropped pass
+    # silently raises sampling error from ~0.002 to ~0.47 gray levels,
+    # above what the |v|^2 < 4e-2 convergence threshold tolerates.
+    integer_pyramid: bool = True
 
     @property
     def patch_rows(self) -> int:

@@ -118,6 +118,9 @@ class _RigidSampler:
         self.img_h, self.img_w = img_h, img_w
         self.pad, self.hp, self.wp = pad, hp, wp
         self.precise = precise
+        # 2-pass image splits require integer-valued imagery (see
+        # KltOptions.integer_pyramid); non-integer input keeps 3 passes.
+        self.img_exact = opts.integer_pyramid
         pr, pc = self.pr, self.pc
         self.r_i = jax.lax.broadcasted_iota(jnp.int32, (pr, self.win_r), 0)
         self.r_r = jax.lax.broadcasted_iota(jnp.int32, (pr, self.win_r), 1)
@@ -160,10 +163,11 @@ class _RigidSampler:
         cw = jnp.maximum(
             0.0, 1.0 - jnp.abs(lx0 + self.c_j.astype(jnp.float32)
                                - self.c_c.astype(jnp.float32)))
-        # Pyramid levels are uint8-truncated integers (exact in bf16) —
-        # the window's lo split term is identically zero: 2-pass split.
+        # Quantized pyramid levels are uint8-truncated integers (exact in
+        # bf16) — the window's lo split term is identically zero: 2-pass
+        # split, gated on KltOptions.integer_pyramid.
         u = _xdot(window, cw, ((1,), (1,)), self.precise,
-                  a_exact=True)                             # [win_r, pc]
+                  a_exact=self.img_exact)                   # [win_r, pc]
         patch = _xdot(rw, u, ((1,), (0,)), self.precise)    # [pr, pc]
         valid = self.validity_at(x, y)
         return jnp.where(valid, patch, 0.0), valid
@@ -232,10 +236,11 @@ class _RigidSampler:
         lx0s = [xs[k] - self.pc // 2 - loads[k][2].astype(jnp.float32)
                 for k in range(b)]
         cw_all = self.stacked_col_weights(lx0s, stride)
-        # Stacked windows are uint8-truncated integers — exact in bf16,
-        # so the lo x hi split pass is a zero matrix and is dropped.
+        # Stacked quantized windows are uint8-truncated integers — exact
+        # in bf16, so the lo x hi split pass is a zero matrix and is
+        # dropped (gated on KltOptions.integer_pyramid).
         u_all = _xdot(wins_all, cw_all, ((1,), (1,)), self.precise,
-                      a_exact=True)
+                      a_exact=self.img_exact)
         return u_all, loads, stride
 
     def stacked_row_weights_t(self, ly0_list, ci_lo_list, ci_hi_list):

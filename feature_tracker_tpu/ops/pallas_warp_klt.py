@@ -151,6 +151,10 @@ class _Sampler:
     def __init__(self, opts: KltOptions, img_h, img_w, pad, hp, wp,
                  rows=None, cols=None, precise: bool = True):
         self.precise = precise
+        # Image operands are exactly representable in bf16 only when the
+        # caller declares integer-valued imagery (quantize=True pyramids);
+        # otherwise the samplers keep the full 3-pass split.
+        self.img_exact = opts.integer_pyramid
         self.pr = opts.patch_rows if rows is None else rows
         self.pc = opts.patch_cols if cols is None else cols
         self.epr, self.epc = opts.ex_patch_rows, opts.ex_patch_cols
@@ -216,10 +220,11 @@ class _Sampler:
         # |v|^2 < 4e-2 convergence threshold on real imagery — so the
         # compiled path uses the 3-pass split product (exact f32 in
         # interpret mode).
-        # Pyramid levels are uint8-truncated integers (exact in bf16):
-        # the window's lo split term is identically zero — 2-pass split.
+        # Quantized pyramid levels are uint8-truncated integers (exact in
+        # bf16): the window's lo split term is identically zero — 2-pass
+        # split, gated on KltOptions.integer_pyramid.
         s = _xdot(window, cwt, ((1,), (0,)), self.precise,
-                  a_exact=True)                             # [WIN_R, P]
+                  a_exact=self.img_exact)                   # [WIN_R, P]
         val = jnp.sum(s * rwt, axis=0, keepdims=True)       # [1, P_pad]
 
         fx = jnp.floor(pos_x)
@@ -397,9 +402,11 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
             # sums: H8[i, j] = sum(j6_i * j6_j) over the patch lanes.
             j8 = _stack_rows([x0 * dx, x0 * dy, y0 * dx, y0 * dy, dx, dy],
                              smp.p_pad)
-            # Exact f32: the equilibrated 6x6 still carries cond >> 1e3,
-            # so split-bf16 gram error poisons the Cholesky (measured:
-            # tracked 8656 -> 7441 on the 10240-feature bench).
+            # HIGHEST-precision (near-f32; a multi-pass bf16 split on the
+            # MXU, not bit-exact f32 accumulation): the equilibrated 6x6
+            # still carries cond >> 1e3, so 3-pass split-bf16 gram error
+            # poisons the Cholesky (measured: tracked 8656 -> 7441 on
+            # the 10240-feature bench).
             h8 = _xdot(j8, j8, ((1,), (1,)), True)
             hess = [[h8[i, j] * dvec[i] * dvec[j] for j in range(6)]
                     for i in range(6)]
@@ -428,10 +435,11 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                 curv, okcur = smp.sample(window, wr0, wc0, wx, wy)
                 valid = okcur & inner_valid
                 dt = jnp.where(valid, curv - inner, 0.0)
-                # Exact f32 (see the gram note): the GN step is b
-                # through the ill-conditioned solve; [1,P]x[8,P]^T at
-                # HIGHEST is ~2 MXU issues per pass — still far cheaper
-                # than the 6 lane-reduce chains it replaces.
+                # HIGHEST-precision (near-f32; see the gram note): the
+                # GN step is b through the ill-conditioned solve;
+                # [1,P]x[8,P]^T at HIGHEST is ~2 MXU issues per pass —
+                # still far cheaper than the 6 lane-reduce chains it
+                # replaces.
                 s8 = _xdot(dt, m8, ((1,), (1,)), True)        # [1, 8]
                 s1, s2, s3 = s8[0, 0], s8[0, 1], s8[0, 2]
                 s4, s5, s6 = s8[0, 3], s8[0, 4], s8[0, 5]
@@ -542,9 +550,12 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                 vm = v8 * jnp.broadcast_to(validf, v8.shape)
                 # G[i, j] = sum(valid * v_i * v_j) (valid^2 == valid, so
                 # masking one side counts it exactly once).
-                # Exact f32: jrx/jry carry absolute coordinates, so the
-                # unequilibrated 3x3 has cond >> 1e3 — split-bf16 gram
-                # error would poison the Cholesky (see the affine note).
+                # HIGHEST-precision (near-f32, not bit-exact f32):
+                # jrx/jry carry absolute coordinates, so the
+                # unequilibrated 3x3 has cond >> 1e3 — 3-pass split-bf16
+                # gram error would poison the Cholesky (affine note).
+                # The new bias reassociates rounding vs the old fused
+                # lane reduce; do not rely on bit-exactness here.
                 g = _xdot(vm, v8, ((1,), (1,)), True)         # [8, 8]
                 bv = _xdot(residual, v8, ((1,), (1,)), True)  # [1, 8]
                 a4 = [c00, c01, c10, c11]

@@ -24,8 +24,14 @@ def build_pyramid(img, levels: int, quantize: bool = True):
 
     Returns:
       Tuple of ``levels`` arrays, finest first.
+
+    With ``quantize=True`` level 0 is floor-truncated too: the reference's
+    level 0 is the raw uint8 buffer (integer-valued by construction), so
+    this is a no-op for uint8-derived float input while enforcing the
+    integer invariant the compiled Pallas samplers rely on
+    (KltOptions.integer_pyramid) for arbitrary float input.
     """
-    pyr = [img]
+    pyr = [jnp.floor(img) if quantize else img]
     for _ in range(levels - 1):
         a = pyr[-1]
         h2 = (a.shape[0] // 2) * 2

@@ -120,6 +120,53 @@ def test_split_bf16_dot_error_bound():
     assert err < naive_err / 5  # materially tighter than 1-pass bf16
 
 
+def test_a_exact_split_bitwise_equals_3pass_on_integer_window():
+    """The 2-pass ``a_exact`` branch drops the window's lo split term.
+    On an INTEGER-valued window (|x| <= 255, exact in bf16) that term is
+    identically zero, so the 2-pass product must be bitwise identical to
+    the 3-pass split — this is the compiled-only invariant the
+    interpret-mode parity tests (precise=True) can never exercise."""
+    from feature_tracker_tpu.ops.pallas_klt import _xdot
+
+    rng = np.random.default_rng(1)
+    win = jnp.asarray(rng.integers(0, 256, (24, 256)), jnp.float32)
+    cw = jnp.asarray(rng.uniform(0, 1, (15, 256)), jnp.float32)
+    full = _xdot(win, cw, ((1,), (1,)), precise=False)
+    two = _xdot(win, cw, ((1,), (1,)), precise=False, a_exact=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(two))
+
+    # Counter-check: on NON-integer imagery the dropped pass is NOT zero
+    # and the 2-pass product drifts past the ~0.3-gray level the kernel
+    # notes call convergence-breaking — the reason a_exact is gated on
+    # KltOptions.integer_pyramid.
+    win_f = win + jnp.asarray(rng.uniform(0.001, 0.999, win.shape),
+                              jnp.float32)
+    exact = _xdot(win_f, cw, ((1,), (1,)), precise=True)
+    two_f = _xdot(win_f, cw, ((1,), (1,)), precise=False, a_exact=True)
+    err = np.abs(np.asarray(exact) - np.asarray(two_f)).max()
+    assert err > 0.05, err  # materially worse than the 3-pass bound
+
+
+def test_b_exact_split_error_bound_on_extraction_matrices():
+    """``b_exact`` with 0/+-1 extraction matrices (exact in bf16): the
+    2-pass product must match HIGHEST within the 3-pass split bound on
+    imagery-scale float operands."""
+    from feature_tracker_tpu.ops.pallas_klt import _xdot
+    from feature_tracker_tpu.ops.pallas_warp_klt import make_ref_extractors
+
+    rng = np.random.default_rng(2)
+    opts = KltOptions()
+    sel, sdx, sdy = make_ref_extractors(opts)
+    ex_flat = jnp.asarray(
+        rng.uniform(0, 255, (1, sel.shape[0])), jnp.float32)
+    for mat in (sel, sdx, sdy):
+        exact = _xdot(ex_flat, mat, ((1,), (0,)), precise=True)
+        two = _xdot(ex_flat, mat, ((1,), (0,)), precise=False,
+                    b_exact=True)
+        err = np.abs(np.asarray(exact) - np.asarray(two)).max()
+        assert err < 1e-2, err
+
+
 def test_identity_fast_path_matches_slow_path():
     """The interior-feature trace-identity bias (compiled default) must
     agree with the reference-ordered masked-patch bias to float-reorder
