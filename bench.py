@@ -45,8 +45,8 @@ R1_ANCHOR_MS = {
 # its line is printed as soon as it exists and again at the end (the
 # driver parses the last line). Cheap workloads next, compile-heavy ones
 # last so a budget overrun drops the least important rows.
-WORKLOADS = ["basic_klt", "brief_match", "direct", "farneback",
-             "affine_klt", "lssd_klt", "lightglue", "raft"]
+WORKLOADS = ["basic_klt", "klt_stream", "brief_match", "direct",
+             "farneback", "affine_klt", "lssd_klt", "lightglue", "raft"]
 PER_WORKLOAD_TIMEOUT_S = 600
 SLOW_WORKLOAD_TIMEOUT_S = 900  # raft: encoder+scan compile alone takes minutes
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
@@ -206,6 +206,79 @@ def w_basic_klt():
            "ms_per_call": round(dt * 1e3, 3),
            "cpu_baseline_features_per_s": round(cpu_feats_per_s, 1),
            "cpu_tracked": cpu_tracked, **tinfo})
+
+
+def w_klt_stream():
+    """Multi-frame stream: T-1 chained pairs in ONE jitted scan (the
+    production SLAM front-end shape — per-call dispatch, padding and
+    host overhead amortize across the stream). CPU baseline chains the
+    native single-pair port over the same frames."""
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.core.config import KltOptions
+    from feature_tracker_tpu.trackers.klt import BasicKlt
+
+    try:
+        from PIL import Image
+        base = "/root/reference/example/direct_method/"
+        frames = np.stack([
+            np.asarray(Image.open(base + name).convert("L"), np.float32)
+            for name in ("left.png", "000001.png", "000002.png",
+                         "000003.png", "000004.png", "000005.png")])
+    except Exception:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from synthetic import translated_pair
+        a, b_img = translated_pair(h=376, w=1241, shift=(2.0, -1.0))
+        frames = np.stack([a, b_img] * 3)
+
+    t, (h, w) = frames.shape[0], frames.shape[1:]
+    n = 10240
+    rng = np.random.default_rng(0)
+    uv = np.stack([rng.uniform(20, w - 20, n),
+                   rng.uniform(20, h - 20, n)], -1).astype(np.float32)
+    opts = KltOptions(max_track_points=n)
+    tracker = BasicKlt(opts)
+    frames_dev = jnp.asarray(frames)
+    uv_dev = jnp.asarray(uv)
+
+    uvs, sts = tracker.track_stream(frames_dev, uv_dev, levels=4)
+    surviving = int((np.asarray(sts[-1]) == 1).sum())
+
+    dt, tinfo = _time_scalar_step(
+        lambda s: jnp.sum(tracker.track_stream(frames_dev, uv_dev + s,
+                                               levels=4)[0]),
+        lambda s: jnp.sum(uv_dev + s))
+    pair_tracks = n * (t - 1)
+    feats_per_s = pair_tracks / dt
+
+    try:
+        from feature_tracker_tpu.ops.pyramid import build_pyramid
+        from feature_tracker_tpu.runtime.cpu_baseline import klt_fast_cpu
+        pyrs = [[np.asarray(l) for l in build_pyramid(jnp.asarray(f), 4)]
+                for f in frames]
+        cpu_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cuv, cst = uv, None
+            for i in range(t - 1):
+                cuv, cst = klt_fast_cpu(pyrs[i], pyrs[i + 1], cuv,
+                                        cur_uv=cuv, status=cst, opts=opts)
+            cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+        cpu_feats_per_s = pair_tracks / cpu_dt
+        cpu_surviving = int((cst == 1).sum())
+    except Exception:
+        cpu_feats_per_s, cpu_surviving = -1.0, -1
+
+    vs = feats_per_s / cpu_feats_per_s if cpu_feats_per_s > 0 else 0.0
+    _emit("klt_stream_tracked_features_per_s_per_chip", feats_per_s,
+          "features/s", vs,
+          {"n_features": n, "pairs": t - 1,
+           "surviving_last_pair": surviving,
+           "cpu_surviving": cpu_surviving,
+           "ms_per_pair": round(dt * 1e3 / (t - 1), 3),
+           "cpu_baseline_features_per_s": round(cpu_feats_per_s, 1),
+           "resolution": f"{w}x{h}", **tinfo})
 
 
 def _warp_klt(kind):

@@ -63,6 +63,31 @@ Performance notes (rounds 2-3; measured on 1x v5e in BASELINE.md):
    sharing one early-exiting ``while_loop`` (typical convergence: 2-5 of
    the 15 iterations; measured batch-max ~4.3). B=2/8 measured slower
    (pipelining vs straggler trade).
+ - Round-4 ablations (2026-08-19, same 10240x4 workload) — identity b4
+   36.4 ms remains the optimum; every wider-op formulation measured
+   SLOWER: qpf b4 38.0 (per-feature q = RW^T U fold: same 3 MXU issues
+   as the a-matmul but its q-matmul DEPENDS on the stacked contraction,
+   serializing what identity overlaps — identity's a-matmul reads only
+   setup constants, so all B a-matmuls + the stacked contraction issue
+   independently); qdt-bcast b4/b8 51.3/51.0 and qdtv-bcast b8/b16
+   47.7/53.3 (replacing the r3 per-block select chains with one
+   3-split broadcast matmul made the folds WORSE — the select chains
+   were never the bottleneck; the block-diagonal fold matmul's
+   quadratic-in-B FLOPs [16B, win_r*B] x [win_r*B, 16B] and its serial
+   position in the chain are).
+ - Roofline position: 36.4 ms = ~44k batch-iterations (10240/4 features
+   x 4 levels x ~4.3 avg iterations) at ~830 ns each, covering 5 MXU
+   issues (2 stacked-sample passes + 3 a-matmul passes x 4 features =
+   14 issues total), ~45 VPU ops (weight/mask builds + 16 reduce-chain
+   stages across 4 features), ~2b window loads, and 4 x ~30-op scalar
+   advance chains. With measured ~20-35 ns/issue MXU fixed cost and the
+   VPU/scalar work overlapping it, the issue floor alone is
+   ~14 x 25 = 350 ns; adding the non-overlappable reduce stages puts
+   the access-pattern bound at roughly 550-650 ns/batch-iteration,
+   i.e. ~24-29 ms for the workload. The kernel sits within ~1.3-1.5x of
+   that bound; the remaining gap is compiler scheduling slack, not an
+   untried formulation (see the ablation list above — every candidate
+   that trades chains for matmul issues or width has been measured).
 
 Semantics are bit-for-bit those of the jnp path (engine.py):
  - no valid reference pixel        -> OUTSIDE, position unchanged
@@ -206,6 +231,18 @@ class _RigidSampler:
             w = jnp.where((i >= i_lo) & (i <= i_hi), w, 0.0)
         return w
 
+    def row_weights_16(self, ly0, i_lo, i_hi):
+        """Row hat weights [16, win_r] built directly in the q-fold's
+        matmul-ready orientation: w[i, r] = hat(ly0 + i - r), zeroed
+        outside patch-row range [i_lo, i_hi] (which also zeroes pad rows
+        i >= pr since i_hi <= pr - 1)."""
+        i = jax.lax.broadcasted_iota(jnp.int32, (16, self.win_r), 0)
+        r = jax.lax.broadcasted_iota(jnp.int32, (16, self.win_r), 1)
+        w = jnp.maximum(
+            0.0, 1.0 - jnp.abs(ly0 + i.astype(jnp.float32)
+                               - r.astype(jnp.float32)))
+        return jnp.where((i >= i_lo) & (i <= i_hi), w, 0.0)
+
     def stacked_col_weights(self, lx0_list, stride: int = 16):
         """Column hat weights for B features stacked at a power-of-two
         row stride: CW_all[stride*k + j, c] = hat(lx0_k + j - c) for
@@ -243,6 +280,40 @@ class _RigidSampler:
                       a_exact=self.img_exact)
         return u_all, loads, stride
 
+    def stacked_col_weights_bc(self, lx0_bc, b, stride: int = 16):
+        """Column hat weights [stride*b, WIN_C] from a block-broadcast
+        lx0 column ([16b, 1], _bcast16 output) — the iota arithmetic is
+        identical to stacked_col_weights but the per-feature values
+        arrive pre-broadcast, with no O(b) select chain over the full
+        area."""
+        rows = stride * b
+        i = jax.lax.broadcasted_iota(jnp.int32, (rows, WIN_C), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, WIN_C), 1)
+        j = (i & (stride - 1)).astype(jnp.float32)
+        return jnp.maximum(
+            0.0, 1.0 - jnp.abs(lx0_bc + j - c.astype(jnp.float32)))
+
+    def stacked_row_weights_t_bc(self, ly0_bc, lo_bc, hi_bc, b):
+        """Block-diagonal transposed row hat weights [16b, win_r*b] from
+        block-broadcast ly0 / row-range columns ([16b, 1] each). Same
+        semantics as stacked_row_weights_t (mask folded in, pad and
+        off-diagonal rows zero), no per-block select chains."""
+        rows, cols = 16 * b, self.win_r * b
+        gi = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        r0 = (gi >> 4) * self.win_r
+        ii = (gi & 15).astype(jnp.float32)
+        rloc = (gr - r0).astype(jnp.float32)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(ly0_bc + ii - rloc))
+        ok = ((rloc >= 0) & (rloc < self.win_r)
+              & (ii >= lo_bc) & (ii <= hi_bc))
+        return jnp.where(ok, w, 0.0)
+
+    def stacked_contract(self, wins_all, cw_all):
+        """The stacked sampling contraction on pre-built operands."""
+        return _xdot(wins_all, cw_all, ((1,), (1,)), self.precise,
+                     a_exact=self.img_exact)
+
     def stacked_row_weights_t(self, ly0_list, ci_lo_list, ci_hi_list):
         """Block-diagonal transposed row hat weights for B features:
         W[16k + i, win_r*k + r] = hat(ly0_k + i - r) for i in the
@@ -277,6 +348,51 @@ class _RigidSampler:
 
 
 BATCH = 4  # interleaved per-feature GN chains per while_loop
+
+
+def _lane_vec(vals, dtype=jnp.float32):
+    """[1, b] lane vector from b per-feature scalars (b cheap 1-tile
+    selects)."""
+    b = len(vals)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    v = jnp.full((1, b), vals[0], dtype)
+    for k in range(1, b):
+        v = jnp.where(lanes == k, jnp.asarray(vals[k]).astype(dtype), v)
+    return v
+
+
+def _bcast16(rows, b, precise):
+    """Block broadcast [16b, nq]: output row-block k, column q =
+    rows[q][0, k], via ONE matmul against the static 0/1 block
+    indicator. Replaces the round-3 per-block select chains, whose cost
+    grew as O(b) chained wheres over O(b)-row areas — the actual
+    quadratic term that sank the qdt/qdtv folds on-chip (the fold
+    matmuls themselves are 3 issues regardless of b).
+
+    The broadcast values feed hat-weight builds, so the compiled path
+    uses a 3-way hi/lo/ll bf16 split of the value matrix (~2^-24
+    relative, f32-rounding exact in practice) — a 2-pass split's ~2^-16
+    error would put ~0.07 gray of sampling error on the patch."""
+    v = jnp.concatenate(rows, axis=0)                       # [nq, b]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (16 * b, b), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (16 * b, b), 1)
+    e2 = ((gi >> 4) == gc).astype(jnp.float32)
+    dn = (((1,), (1,)), ((), ()))
+    if precise:
+        return jax.lax.dot_general(e2, v, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    eh = e2.astype(jnp.bfloat16)
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    lo = r1.astype(jnp.bfloat16)
+    ll = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(p):
+        return jax.lax.dot_general(eh, p, dn,
+                                   preferred_element_type=jnp.float32)
+
+    return d(hi) + d(lo) + d(ll)
 
 
 def _eye_place(pc: int, lane0: int, lanes: int):
@@ -386,6 +502,24 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
             d_aug = jnp.concatenate(
                 [dx, zcol, dy, zcol, dx * inner, zcol, dy * inner, zcol],
                 axis=1)                                       # [pr, 64]
+        elif bias_mode == "qpf":
+            # Zero-padded [16, 16] blocks for the q-fold: the junk lanes
+            # of u_all (j >= pc) and pad rows (i >= pr) are killed by the
+            # zero dx/dy entries, so the per-iteration bias needs no junk
+            # masking — only the cur-validity rectangle. inner/dx/dy come
+            # out of the setup at mismatched internal layout offsets, so
+            # a direct lane concat is rejected by Mosaic; each block is
+            # re-materialized at canonical layout by a HIGHEST-precision
+            # placement matmul (setup-amortized; the 0/1 eye keeps values
+            # to f32 rounding), then row-concat with zeros is legal.
+            zrow = jnp.zeros((16 - smp.pr, 16), jnp.float32)
+            e16 = _eye_place(smp.pc, 0, 16)
+
+            def p16(m):
+                return jnp.concatenate(
+                    [_place_exact(m, e16, True), zrow], axis=0)
+
+            d_aug = (p16(inner), p16(dx), p16(dy))
         else:
             d_aug = None
         return (inner, inner_valid, dx, dy, (h00, h01, h11, det),
@@ -478,19 +612,26 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                             status, last_sq, cnt, done])
             return tuple(out)
 
-        def qdt_fold(xs_c, ys_c, u_all, loads):
-            """The q/dt fold shared by qdt and qdtv (round 3): ONE
-            stacked block-diagonal contraction produces every feature's
-            row-masked sampled patch q (and, against an appended ones
-            column, the exact 0/1 row-mask — hat weights are a partition
-            of unity over the covered window, so the masked build's row
-            sums are exactly the cur-validity indicator). The residual
-            dt = q - inner*rowmask is small-magnitude (no catastrophic
-            cancellation), and the masked column sums of dx*dt / dy*dt
-            come out as two [1, 16b] lane vectors (cs0m, cs1m). Replaces
-            the per-feature trace-identity a-matmul (3 split passes
-            each) and its 4 full-tile sums."""
-            ly0s, ci_los, ci_his, rects = [], [], [], []
+        def qdt_fold(xs_c, ys_c):
+            """The q/dt fold shared by qdt and qdtv (reworked round 4):
+            loads the B windows, block-broadcasts ALL per-feature build
+            scalars (lx0, ly0, row range) in ONE _bcast16 matmul, builds
+            both stacked hat-weight operands select-chain-free, then two
+            stacked block-diagonal contractions produce every feature's
+            column samples and row-masked sampled patch q (plus, against
+            an appended ones column, the exact 0/1 row-mask — hat
+            weights are a partition of unity over the covered window, so
+            the masked build's row sums are exactly the cur-validity
+            indicator). The residual dt = q - inner*rowmask is
+            small-magnitude (no catastrophic cancellation), and the
+            masked column sums of dx*dt / dy*dt come out as two [1, 16b]
+            lane vectors (cs0m, cs1m). The round-3 version of this fold
+            measured SLOWER than identity because its per-block select
+            chains cost O(b) wheres over O(b)-row areas per iteration;
+            the broadcast matmul removes that quadratic term."""
+            loads = [smp.load_window(cur_imgs[lvl], xs_c[k], ys_c[k])
+                     for k in range(b)]
+            lx0s, ly0s, ci_los, ci_his, rects = [], [], [], [], []
             for k in range(b):
                 x, y = xs_c[k], ys_c[k]
                 min_r = jnp.floor(y).astype(jnp.int32) - smp.pr // 2
@@ -499,12 +640,22 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 ci_hi = jnp.minimum(smp.pr - 1, smp.img_h - 2 - min_r)
                 cj_lo = jnp.maximum(0, -min_c)
                 cj_hi = jnp.minimum(smp.pc - 1, smp.img_w - 2 - min_c)
+                lx0s.append(x - smp.pc // 2
+                            - loads[k][2].astype(jnp.float32))
                 ly0s.append(y - smp.pr // 2
                             - loads[k][1].astype(jnp.float32))
-                ci_los.append(ci_lo)
-                ci_his.append(ci_hi)
+                ci_los.append(ci_lo.astype(jnp.float32))
+                ci_his.append(ci_hi.astype(jnp.float32))
                 rects.append((ci_lo, ci_hi, cj_lo, cj_hi))
-            rwtt = smp.stacked_row_weights_t(ly0s, ci_los, ci_his)
+            bc = _bcast16([_lane_vec(lx0s), _lane_vec(ly0s),
+                           _lane_vec(ci_los), _lane_vec(ci_his)],
+                          b, precise)                       # [16b, 4]
+            cw_all = smp.stacked_col_weights_bc(bc[:, 0:1], b)
+            wins_all = jnp.concatenate([w for (w, _, _) in loads],
+                                       axis=0)
+            u_all = smp.stacked_contract(wins_all, cw_all)
+            rwtt = smp.stacked_row_weights_t_bc(bc[:, 1:2], bc[:, 2:3],
+                                                bc[:, 3:4], b)
             ones_col = jnp.ones((b * smp.win_r, 1), jnp.float32)
             u_aug = jnp.concatenate([u_all, ones_col], axis=1)
             q_aug = _xdot(rwtt, u_aug, ((1,), (0,)), precise)
@@ -524,12 +675,12 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
             colm = ((jj >= lo) & (jj <= hi)).astype(jnp.float32)
             return cs0 * colm, cs1 * colm, rects
 
-        def qdt_pre(carry, xs_c, ys_c, u_all, loads):
+        def qdt_pre(carry, xs_c, ys_c):
             """qdt mode: per-feature SCALAR bias/count extraction from
             the fold (static 16-lane slice sums + closed-form rect
             intersection counts); the advance stays 4 interleaved
             scalar chains."""
-            cs0m, cs1m, rects = qdt_fold(xs_c, ys_c, u_all, loads)
+            cs0m, cs1m, rects = qdt_fold(xs_c, ys_c)
             pre = []
             for k in range(b):
                 x, y, status, last_sq, cnt, done = carry[6 * k:6 * k + 6]
@@ -595,9 +746,7 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 # advance budget.
                 xs_c = [xv[0, k] for k in range(b)]
                 ys_c = [yv[0, k] for k in range(b)]
-                u_all, loads, _ = smp.stacked_samples(cur_imgs[lvl],
-                                                      xs_c, ys_c)
-                cs0m, cs1m, rects = qdt_fold(xs_c, ys_c, u_all, loads)
+                cs0m, cs1m, rects = qdt_fold(xs_c, ys_c)
                 out2 = _place_exact(
                     jnp.concatenate([cs0m, cs1m], axis=0), blocksum,
                     precise)                                  # [2, b]
@@ -648,6 +797,9 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
         def iter_body(_, carry):
             xs_c = [carry[6 * k] for k in range(b)]
             ys_c = [carry[6 * k + 1] for k in range(b)]
+            if bias_mode == "qdt":
+                pre = qdt_pre(carry, xs_c, ys_c)
+                return advance_all(pre)
             if bias_mode != "slow":
                 # ONE stacked contraction computes every feature's
                 # column-interpolated window: U_all[24k+r, 16k+j] is
@@ -659,10 +811,6 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 loads = [smp.load_window(cur_imgs[lvl], xs_c[k], ys_c[k])
                          for k in range(b)]
 
-            if bias_mode == "qdt":
-                pre = qdt_pre(carry, xs_c, ys_c, u_all, loads)
-                return advance_all(pre)
-
             pre = []
             for k in range(b):
                 x, y, status, last_sq, cnt, done = (
@@ -670,7 +818,45 @@ def _kernel(*refs, opts: KltOptions, shapes, pad: int, n_features: int,
                 d_aug, ref_rect = setups[k][6:8]
                 cwin, cwr0, cwc0 = loads[k]
 
-                if bias_mode == "identity":
+                if bias_mode == "qpf":
+                    # Per-feature q/dt fold (round 4): ONE small matmul
+                    # Q = RW_16 @ U_k row-contracts the column-sampled
+                    # window into the row-masked patch — replacing the
+                    # identity path's [24, 64] a-matmul AND absorbing
+                    # U_k's 16k lane offset (the matmul output is
+                    # canonical, so the dt arithmetic below runs at
+                    # offset 0 with no relayout). The bias then needs
+                    # only 2 reduce chains over [16, 16] instead of 4
+                    # over [24, 64]; dt = Q - inner is small-magnitude.
+                    inner16, dx16, dy16 = setups[k][6]
+                    min_r = jnp.floor(y).astype(jnp.int32) - smp.pr // 2
+                    min_c = jnp.floor(x).astype(jnp.int32) - smp.pc // 2
+                    ci_lo = jnp.maximum(0, -min_r)
+                    ci_hi = jnp.minimum(smp.pr - 1,
+                                        smp.img_h - 2 - min_r)
+                    cj_lo = jnp.maximum(0, -min_c)
+                    cj_hi = jnp.minimum(smp.pc - 1,
+                                        smp.img_w - 2 - min_c)
+                    ly0 = y - smp.pr // 2 - cwr0.astype(jnp.float32)
+                    rwt16 = smp.row_weights_16(ly0, ci_lo, ci_hi)
+                    u16 = u_all[wr * k:wr * (k + 1),
+                                16 * k:16 * k + 16]
+                    q = _xdot(rwt16, u16, ((1,), (0,)),
+                              precise)                        # [16, 16]
+                    ii = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+                    jj = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+                    curm = ((ii >= ci_lo) & (ii <= ci_hi)
+                            & (jj >= cj_lo) & (jj <= cj_hi))
+                    dtm = jnp.where(curm, q - inner16, 0.0)
+                    b0 = -jnp.sum(dx16 * dtm)
+                    b1 = -jnp.sum(dy16 * dtm)
+                    ri_lo, ri_hi, rj_lo, rj_hi = ref_rect
+                    num_valid = (
+                        jnp.maximum(0, jnp.minimum(ci_hi, ri_hi)
+                                    - jnp.maximum(ci_lo, ri_lo) + 1)
+                        * jnp.maximum(0, jnp.minimum(cj_hi, rj_hi)
+                                      - jnp.maximum(cj_lo, rj_lo) + 1))
+                elif bias_mode == "identity":
                     # Masked trace identity — EXACT reference semantics
                     # with no branch: the dt mask (cur validity & ref
                     # validity) is a separable rectangle, so it folds
@@ -811,6 +997,13 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
     and the final outside check are applied by the caller.
 
     ``bias_mode`` selects the per-iteration bias formulation:
+      - ``"qpf"``: PER-FEATURE q/dt fold (round 4) — one small
+        [16, win_r] x [win_r, 16] matmul row-contracts each feature's
+        column-sampled window into the row-masked patch Q (absorbing
+        U_k's lane offset into the matmul's canonical output), then
+        bias = -sum(grad * (Q - inner)) over the cur-validity rectangle:
+        2 reduce chains over [16, 16] instead of identity's 4 over
+        [24, 64]; scalar advance chains.
       - ``"qdtv"``: the q/dt fold + VECTOR-LANE advance — per-feature
         GN state lives in [1, batch] lane vectors, one VPU op advances
         the whole interleave, bias lane sums via one block-sum matmul;
@@ -835,14 +1028,17 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
             # timed on the real chip (2026-08-18, 10240 feats x 4
             # levels) and ALL lose to it — identity b4 36.7 ms vs
             # qdt b4 43.0 / b8 43.8, qdtv b4 48.1 / b8 40.3 / b16 57.4.
-            # The block-diagonal fold matmuls grow quadratically in the
-            # interleave width while only the diagonal is read, and the
-            # lane-vector state build (to_vec chains) costs more than
-            # the b scalar advance chains it replaces.
+            # The r4 reworks lose too (see the module header ablation
+            # list): qpf b4 38.0, broadcast-matmul qdt b4/b8 51.3/51.0,
+            # qdtv b8/b16 47.7/53.3. The block-diagonal fold matmuls
+            # grow quadratically in the interleave width while only the
+            # diagonal is read, and any formulation whose per-feature
+            # matmul depends on the stacked contraction serializes what
+            # identity overlaps.
             bias_mode = "identity"
         else:
             bias_mode = "slow"
-    if bias_mode not in ("qdtv", "qdt", "identity", "slow"):
+    if bias_mode not in ("qpf", "qdtv", "qdt", "identity", "slow"):
         raise ValueError(f"unknown bias_mode {bias_mode!r}")
     if bias_mode != "slow" and (opts.patch_cols > 16
                                 or opts.patch_rows > 16):

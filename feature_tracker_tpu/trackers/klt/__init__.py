@@ -46,11 +46,25 @@ def _basic_pyramid(opts, ref_pyr, cur_pyr, ref_uv, cur_uv, status):
     skip = _skip_mask(n, status, opts)
     if opts.method == KltMethod.FAST and jax.default_backend() == "tpu":
         # One Pallas launch runs the whole coarse-to-fine loop on-chip.
+        # Skipped features (failed earlier / beyond max_track_points) are
+        # PARKED off-image — n_ref == 0 makes their GN chains done before
+        # iteration 0 — and the tile is sorted alive-first so whole
+        # interleave batches of dead features exit their while_loop
+        # immediately (the CPU reference `continue`s dead features for
+        # free, basic_klt.cpp:15; without grouping, a dead lane inside a
+        # live batch saves nothing). Outputs are unsorted and the parked
+        # results discarded by the skip select below.
         from feature_tracker_tpu.ops.pallas_klt import (
             track_pyramid_fast_pallas,
         )
+        order = jnp.argsort(skip.astype(jnp.int8), stable=True)
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+        park = jnp.float32(-4096.0)
+        ruv = jnp.where(skip[:, None], park, ref_uv)[order]
+        cuv = jnp.where(skip[:, None], park, cur_uv)[order]
         s_cur, st = track_pyramid_fast_pallas(opts, ref_pyr, cur_pyr,
-                                              ref_uv, cur_uv)
+                                              ruv, cuv)
+        s_cur, st = s_cur[inv], st[inv]
     else:
         scale = float(1 << (len(ref_pyr) - 1))
         s_ref = ref_uv / scale
@@ -155,9 +169,61 @@ def _lssd_single(opts, luminance, ref_img, cur_img, ref_uv, cur_uv, status,
             jnp.where(skip, status, st))
 
 
+@partial(jax.jit, static_argnames=("opts", "kind", "luminance", "levels"))
+def _stream(opts, kind, luminance, frames, uv0, st0, levels):
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+
+    pyr = jax.vmap(lambda f: build_pyramid(f, levels))(frames)
+
+    def body(carry, x):
+        uv, st = carry
+        rp, cp = x
+        if kind == "basic":
+            out = _basic_pyramid(opts, rp, cp, uv, uv, st)
+        elif kind == "affine":
+            out = _affine_pyramid(opts, rp, cp, uv, uv, st)
+        else:
+            out = _lssd_pyramid(opts, luminance, rp, cp, uv, uv, st,
+                                jnp.eye(2, dtype=jnp.float32))
+        return out, out
+
+    _, (uvs, sts) = jax.lax.scan(
+        body, (uv0, st0),
+        (tuple(p[:-1] for p in pyr), tuple(p[1:] for p in pyr)))
+    return uvs, sts
+
+
 class _KltBase:
+    _stream_kind = "basic"
+
     def __init__(self, options: KltOptions | None = None):
         self.options = options or KltOptions()
+
+    def track_stream(self, frames, ref_uv, status=None, levels: int = 4):
+        """Track features through a ``[T, H, W]`` frame stream — T-1
+        chained pairs — in ONE jitted program (pyramids built batched,
+        the tracker scanned over consecutive pairs, one device dispatch
+        for the whole stream).
+
+        Each pair's tracked positions become the next pair's reference
+        positions AND prediction; failed features stay skipped on later
+        frames (reference: basic_klt.cpp:15 — the reference has no
+        multi-frame API, its demos track one pair; this is the
+        production front-end shape that amortizes per-call dispatch and
+        host overhead across the stream).
+
+        Returns ``(uv [T-1, N, 2], status [T-1, N] int8)`` — the state
+        after each pair."""
+        frames = jnp.asarray(frames, jnp.float32)
+        ref_uv = jnp.asarray(ref_uv, jnp.float32)
+        n = ref_uv.shape[0]
+        if status is None or jnp.shape(status) != (n,):
+            status = fresh_status(n)
+        else:
+            status = jnp.asarray(status, jnp.int8)
+        return _stream(self.options, self._stream_kind,
+                       getattr(self, "consider_patch_luminance", False),
+                       frames, ref_uv, status, levels)
 
     def _prep(self, ref_uv, cur_uv, status):
         ref_uv = jnp.asarray(ref_uv, jnp.float32)
@@ -192,6 +258,8 @@ class BasicKlt(_KltBase):
 class AffineKlt(_KltBase):
     """Affine-warp pyramidal KLT."""
 
+    _stream_kind = "affine"
+
     def __init__(self, options: KltOptions | None = None):
         super().__init__(options)
         self.predict_affine = jnp.eye(2, dtype=jnp.float32)
@@ -212,6 +280,8 @@ class AffineKlt(_KltBase):
 
 class LssdKlt(_KltBase):
     """SE(2) pyramidal KLT with optional luminance normalization."""
+
+    _stream_kind = "lssd"
 
     def __init__(self, options: KltOptions | None = None,
                  consider_patch_luminance: bool = False):

@@ -6,8 +6,12 @@ protocol: scalar-checksum output, device-side input perturbation, measured
 dispatch floor subtracted, own process per program.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -118,3 +118,40 @@ def test_max_track_points_limit():
     assert np.all(status[n_limit:] == int(TrackStatus.NOT_TRACKED))
     np.testing.assert_allclose(np.asarray(cur_uv)[n_limit:], uv[n_limit:])
     assert np.all(status[:n_limit] == int(TrackStatus.TRACKED))
+
+
+@pytest.mark.parametrize("cls", [BasicKlt, AffineKlt, LssdKlt])
+def test_track_stream_matches_chained_pairs(cls):
+    """track_stream (T-1 pairs in one scanned program) must equal
+    sequentially chaining track() per pair with carried uv/status."""
+    from tests.synthetic import Texture
+
+    tex = Texture(0)
+    h, w = 120, 160
+    shifts = [(0.0, 0.0), (1.5, -1.0), (3.0, -2.0), (4.5, -3.0)]
+    frames = np.stack([
+        tex.render(h, w, warp=lambda x, y, d=d: (x - d[0], y - d[1]))
+        for d in shifts]).astype(np.float32)
+    uv0 = grid_features(h, w, margin=20, step=30)
+    tracker = cls()
+    levels = 3
+
+    uvs, sts = tracker.track_stream(frames, uv0, levels=levels)
+    assert uvs.shape == (3, len(uv0), 2) and sts.shape == (3, len(uv0))
+
+    uv, st = jnp.asarray(uv0), None
+    for t in range(3):
+        rp = build_pyramid(jnp.asarray(frames[t]), levels)
+        cp = build_pyramid(jnp.asarray(frames[t + 1]), levels)
+        uv, st = tracker.track(rp, cp, uv, cur_uv=uv, status=st)
+        np.testing.assert_array_equal(np.asarray(sts[t]), np.asarray(st))
+        np.testing.assert_allclose(np.asarray(uvs[t]), np.asarray(uv),
+                                   atol=1e-5)
+
+    # The last pair's survivors actually tracked the cumulative motion.
+    st_f = np.asarray(sts[-1])
+    assert (st_f == int(TrackStatus.TRACKED)).sum() >= len(uv0) * 2 // 3
+    moved = np.asarray(uvs[-1]) - uv0
+    ok = st_f == int(TrackStatus.TRACKED)
+    np.testing.assert_allclose(moved[ok], np.tile((4.5, -3.0), (ok.sum(), 1)),
+                               atol=0.2)
