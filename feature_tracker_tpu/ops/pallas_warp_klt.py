@@ -40,6 +40,11 @@ from feature_tracker_tpu.core.config import KltOptions
 from feature_tracker_tpu.core.status import TrackStatus
 
 TILE = 1024
+AFFINE_BATCH = 4  # interleaved per-feature GN chains per while_loop
+LSSD_BATCH = 2    # (round 4; on-chip ablation: affine 103.7 -> 87.1 (b2)
+                  # -> 83.7 ms (b4); LSSD 174.8 (b1) ~ 177.5 (b2) <
+                  # 190.1 (b4) — LSSD is throughput-bound on its
+                  # per-iteration matmul passes, not latency-bound)
 WIN_R = 48        # aligned window rows (32 target + 8 offset, rounded)
 WIN_C = 128       # window lanes: 32-px target + 64-granular anchor offset
                   # (the padded images carry a 64-column-shifted second
@@ -373,7 +378,7 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                    a00, a01, a10, a11,
                    out_x, out_y, o00, o01, o10, o11, out_status, *,
                    opts: KltOptions, img_h, img_w, pad, hp, wp, n_features,
-                   precise: bool = True):
+                   precise: bool = True, batch: int = AFFINE_BATCH):
     smp = _Sampler(opts, img_h, img_w, pad, hp, wp, precise=precise)
     exs = _Sampler(opts, img_h, img_w, pad, hp, wp,
                    rows=opts.ex_patch_rows, cols=opts.ex_patch_cols,
@@ -381,54 +386,68 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
     extractors = (exm_c[:], exm_dx[:], exm_dy[:])
     tile_base = pl.program_id(0) * TILE
 
-    def one_feature(f, _):
-        @pl.when(tile_base + f < n_features)
-        def _():
-            inner, inner_valid, dx, dy, n_ref = ref_setup_shared(
-                smp, exs, extractors, ref_pad, ref_x[f], ref_y[f])
-            x_ent, y_ent = cur_x[f], cur_y[f]
-            # H precomputed once per level with x,y anchored at the
-            # level-entry position (affine_klt_fast.cpp:95-137). The
-            # absolute pixel coordinates make cond(H) ~ coord^4 — fatal
-            # for an unpivoted float32 Cholesky — so the system is
-            # equilibrated by the coordinate scale: solve (DHD)w = Db,
-            # z = Dw with D = diag(1/s,1/s,1/s,1/s,1,1).
-            scl = jnp.maximum(jnp.maximum(jnp.abs(x_ent), jnp.abs(y_ent)),
-                              1.0)
-            dvec = [1.0 / scl] * 4 + [jnp.float32(1.0)] * 2
-            x0 = smp.offx + x_ent
-            y0 = smp.offy + y_ent
-            # ONE gram matmul replaces the previous 21 lane-reduction
-            # sums: H8[i, j] = sum(j6_i * j6_j) over the patch lanes.
-            j8 = _stack_rows([x0 * dx, x0 * dy, y0 * dx, y0 * dy, dx, dy],
-                             smp.p_pad)
-            # HIGHEST-precision (near-f32; a multi-pass bf16 split on the
-            # MXU, not bit-exact f32 accumulation): the equilibrated 6x6
-            # still carries cond >> 1e3, so 3-pass split-bf16 gram error
-            # poisons the Cholesky (measured: tracked 8656 -> 7441 on
-            # the 10240-feature bench).
-            h8 = _xdot(j8, j8, ((1,), (1,)), True)
-            hess = [[h8[i, j] * dvec[i] * dvec[j] for j in range(6)]
-                    for i in range(6)]
-            # H is anchored at the level-entry position, so its Cholesky
-            # factor is iteration-invariant: factor ONCE here (6 sqrts +
-            # 15 divs + the elimination chain leave the loop body).
-            hess_low = _chol_factor(hess, 6)
-            # Bias base rows: the per-iteration jacobian is
-            # xw*dx = (c00*offx + c01*offy + x)*dx etc., so the 6 bias
-            # sums decompose over 6 FIXED vectors with per-iteration
-            # scalar coefficients — one [1,P]x[8,P]^T matvec per
-            # iteration instead of 6 masked product + lane-reduce
-            # chains (the measured per-iteration hot spot).
-            m8 = _stack_rows([smp.offx * dx, smp.offy * dx,
-                              smp.offx * dy, smp.offy * dy, dx, dy],
-                             smp.p_pad)
+    def setup_one(f):
+        """Per-feature level setup (round-4: hoisted out of the batched
+        while_loop; independent across the interleave)."""
+        inner, inner_valid, dx, dy, n_ref = ref_setup_shared(
+            smp, exs, extractors, ref_pad, ref_x[f], ref_y[f])
+        x_ent, y_ent = cur_x[f], cur_y[f]
+        # H precomputed once per level with x,y anchored at the
+        # level-entry position (affine_klt_fast.cpp:95-137). The
+        # absolute pixel coordinates make cond(H) ~ coord^4 — fatal
+        # for an unpivoted float32 Cholesky — so the system is
+        # equilibrated by the coordinate scale: solve (DHD)w = Db,
+        # z = Dw with D = diag(1/s,1/s,1/s,1/s,1,1).
+        scl = jnp.maximum(jnp.maximum(jnp.abs(x_ent), jnp.abs(y_ent)),
+                          1.0)
+        dvec = [1.0 / scl] * 4 + [jnp.float32(1.0)] * 2
+        x0 = smp.offx + x_ent
+        y0 = smp.offy + y_ent
+        # ONE gram matmul replaces the previous 21 lane-reduction
+        # sums: H8[i, j] = sum(j6_i * j6_j) over the patch lanes.
+        j8 = _stack_rows([x0 * dx, x0 * dy, y0 * dx, y0 * dy, dx, dy],
+                         smp.p_pad)
+        # HIGHEST-precision (near-f32; a multi-pass bf16 split on the
+        # MXU, not bit-exact f32 accumulation): the equilibrated 6x6
+        # still carries cond >> 1e3, so 3-pass split-bf16 gram error
+        # poisons the Cholesky (measured: tracked 8656 -> 7441 on
+        # the 10240-feature bench).
+        h8 = _xdot(j8, j8, ((1,), (1,)), True)
+        hess = [[h8[i, j] * dvec[i] * dvec[j] for j in range(6)]
+                for i in range(6)]
+        # H is anchored at the level-entry position, so its Cholesky
+        # factor is iteration-invariant: factor ONCE here (6 sqrts +
+        # 15 divs + the elimination chain leave the loop body).
+        hess_low = _chol_factor(hess, 6)
+        # Bias base rows: the per-iteration jacobian is
+        # xw*dx = (c00*offx + c01*offy + x)*dx etc., so the 6 bias
+        # sums decompose over 6 FIXED vectors with per-iteration
+        # scalar coefficients — one [1,P]x[8,P]^T matvec per
+        # iteration instead of 6 masked product + lane-reduce
+        # chains (the measured per-iteration hot spot).
+        m8 = _stack_rows([smp.offx * dx, smp.offy * dx,
+                          smp.offx * dy, smp.offy * dy, dx, dy],
+                         smp.p_pad)
+        return (inner, inner_valid, dvec, hess_low, m8, n_ref == 0,
+                x_ent, y_ent)
 
-            no_pixels = n_ref == 0
+    def one_batch(bi, _):
+        """BATCH independent per-feature GN chains interleaved in one
+        early-exiting while_loop (round 4) — the same latency-hiding
+        interleave that took basic KLT from serial chains to its
+        measured optimum; each feature's sample matmul, bias matvec and
+        scalar solve are independent, so the compiler overlaps them
+        instead of exposing each chain's MXU/VPU latency serially."""
+        f0 = bi * batch
+        setups = [setup_one(f0 + k) for k in range(batch)]
 
-            def body(_, carry):
+        def body(_, carry):
+            out = []
+            for k in range(batch):
                 (x, y, c00, c01, c10, c11, status, last_sq, cnt,
-                 done) = carry
+                 done) = carry[10 * k:10 * (k + 1)]
+                (inner, inner_valid, dvec, hess_low, m8, _np_, _xe,
+                 _ye) = setups[k]
                 wx = c00 * smp.offx + c01 * smp.offy + x
                 wy = c10 * smp.offx + c11 * smp.offy + y
                 window, wr0, wc0 = smp.load_window(cur_pad, x, y)
@@ -455,38 +474,59 @@ def _affine_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                 vy = z[1] * x + z[3] * y + z[5]
                 num_valid = jnp.sum(valid.astype(jnp.int32))
                 upd, status, last_sq, cnt, done = _advance(
-                    done, status, last_sq, cnt, [vx, vy], num_valid, opts)
-                return (jnp.where(upd, x + vx, x),
-                        jnp.where(upd, y + vy, y),
-                        jnp.where(upd, c00 + z[0], c00),
-                        jnp.where(upd, c01 + z[2], c01),
-                        jnp.where(upd, c10 + z[1], c10),
-                        jnp.where(upd, c11 + z[3], c11),
-                        status, last_sq, cnt, done)
+                    done, status, last_sq, cnt, [vx, vy], num_valid,
+                    opts)
+                out.extend([jnp.where(upd, x + vx, x),
+                            jnp.where(upd, y + vy, y),
+                            jnp.where(upd, c00 + z[0], c00),
+                            jnp.where(upd, c01 + z[2], c01),
+                            jnp.where(upd, c10 + z[1], c10),
+                            jnp.where(upd, c11 + z[3], c11),
+                            status, last_sq, cnt, done])
+            return tuple(out)
 
-            (x, y, c00, c01, c10, c11, status, _, _, _) = (
-                iterate_until_done(
-                    body,
-                    (x_ent, y_ent, a00[f], a01[f], a10[f], a11[f],
-                     _status0(no_pixels), jnp.float32(jnp.inf),
-                     jnp.int32(0), no_pixels), opts.max_iterations))
-            out_x[f] = x
-            out_y[f] = y
-            o00[f] = c00
-            o01[f] = c01
-            o10[f] = c10
-            o11[f] = c11
-            out_status[f] = status
+        carry0 = []
+        for k in range(batch):
+            f = f0 + k
+            no_pixels = setups[k][5]
+            carry0.extend([setups[k][6], setups[k][7],
+                           a00[f], a01[f], a10[f], a11[f],
+                           _status0(no_pixels), jnp.float32(jnp.inf),
+                           jnp.int32(0), no_pixels])
+
+        def cond(c):
+            all_done = c[1 + 9]
+            for k in range(1, batch):
+                all_done = all_done & c[1 + 10 * k + 9]
+            return (c[0] < opts.max_iterations) & jnp.logical_not(all_done)
+
+        def step(c):
+            return (c[0] + 1,) + body(c[0], c[1:])
+
+        final = jax.lax.while_loop(cond, step,
+                                   (jnp.int32(0),) + tuple(carry0))[1:]
+        for k in range(batch):
+            @pl.when(tile_base + f0 + k < n_features)
+            def _(k=k):
+                f = f0 + k
+                out_x[f] = final[10 * k]
+                out_y[f] = final[10 * k + 1]
+                o00[f] = final[10 * k + 2]
+                o01[f] = final[10 * k + 3]
+                o10[f] = final[10 * k + 4]
+                o11[f] = final[10 * k + 5]
+                out_status[f] = final[10 * k + 6]
         return 0
 
-    jax.lax.fori_loop(0, TILE, one_feature, 0)
+    jax.lax.fori_loop(0, TILE // batch, one_batch, 0)
 
 
 def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                  ref_x, ref_y, r00, r01, r10, r11, tx, ty,
                  o00, o01, o10, o11, otx, oty, out_status, *,
                  opts: KltOptions, luminance: bool, img_h, img_w, pad, hp,
-                 wp, n_features, precise: bool = True):
+                 wp, n_features, precise: bool = True,
+                 batch: int = LSSD_BATCH):
     smp = _Sampler(opts, img_h, img_w, pad, hp, wp, precise=precise)
     exs = _Sampler(opts, img_h, img_w, pad, hp, wp,
                    rows=opts.ex_patch_rows, cols=opts.ex_patch_cols,
@@ -499,37 +539,58 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
     in11 = ((jnp.abs(smp.offx) <= pc // 2 - 1)
             & (jnp.abs(smp.offy) <= pr // 2 - 1))
 
-    def one_feature(f, _):
-        @pl.when(tile_base + f < n_features)
-        def _():
-            rx, ry = ref_x[f], ref_y[f]
-            inner, inner_valid, dx, dy, n_ref = ref_setup_shared(
-                smp, exs, extractors, ref_pad, rx, ry)
-            if luminance:
-                ref_mean = (jnp.sum(inner)
-                            / jnp.maximum(n_ref.astype(jnp.float32), 1.0))
-                dx = dx / ref_mean
-                dy = dy / ref_mean
-                inner = inner / ref_mean
-            px = rx + smp.offx
-            py = ry + smp.offy
-            jrx = -py        # d(pos)/dtheta = R @ (-row, col)
-            jry = px
-            # jtheta = dx*(c00*jrx + c01*jry) + dy*(c10*jrx + c11*jry)
-            # is a per-iteration scalar combination of 4 FIXED vectors,
-            # so every gram/bias sum of the 3x3 GN system decomposes
-            # over the setup-time row stack V8 = [t1..t4, dx, dy, 1]:
-            # ONE masked gram matmul + one residual matvec per iteration
-            # replaces the previous ~10 masked product + lane-reduce
-            # chains (num_valid = G[6,6] falls out of the same gram).
-            v8 = _stack_rows([dx * jrx, dx * jry, dy * jrx, dy * jry,
-                              dx, dy, smp.p_mask.astype(jnp.float32)],
-                             smp.p_pad)
-            no_pixels = n_ref == 0
+    def setup_one(f):
+        rx, ry = ref_x[f], ref_y[f]
+        inner, inner_valid, dx, dy, n_ref = ref_setup_shared(
+            smp, exs, extractors, ref_pad, rx, ry)
+        if luminance:
+            ref_mean = (jnp.sum(inner)
+                        / jnp.maximum(n_ref.astype(jnp.float32), 1.0))
+            dx = dx / ref_mean
+            dy = dy / ref_mean
+            inner = inner / ref_mean
+        px = rx + smp.offx
+        py = ry + smp.offy
+        jrx = -py        # d(pos)/dtheta = R @ (-row, col)
+        jry = px
+        # jtheta = dx*(c00*jrx + c01*jry) + dy*(c10*jrx + c11*jry)
+        # is a per-iteration scalar combination of 4 FIXED vectors,
+        # so every gram/bias sum of the 3x3 GN system decomposes
+        # over the setup-time row stack V8 = [t1..t4, dx, dy, 1]:
+        # ONE masked gram matmul + one residual matvec per iteration
+        # replaces the previous ~10 masked product + lane-reduce
+        # chains (num_valid = G[6,6] falls out of the same gram).
+        #
+        # Round 4: the t-rows are EQUILIBRATED by the coordinate scale
+        # (jrx/jry carry absolute pixel coordinates; the raw 3x3 has
+        # cond >> 1e3, which forced both iteration matmuls to 6-pass
+        # HIGHEST). The solve runs in the scaled unknown v' = (s*dtheta,
+        # dtx, dty) — the affine kernel's dvec pattern — after which the
+        # balanced system tolerates the 3-pass split product: 6 fewer
+        # MXU passes per iteration on the LSSD hot path.
+        scl = jnp.maximum(jnp.maximum(jnp.abs(rx), jnp.abs(ry)),
+                          1.0) + float(max(pr, pc))
+        inv_s = 1.0 / scl
+        v8 = _stack_rows([dx * jrx * inv_s, dx * jry * inv_s,
+                          dy * jrx * inv_s, dy * jry * inv_s,
+                          dx, dy, smp.p_mask.astype(jnp.float32)],
+                         smp.p_pad)
+        return (inner, inner_valid, v8, px, py, rx, ry, n_ref == 0,
+                inv_s)
 
-            def body(_, carry):
+    def one_batch(bi, _):
+        """BATCH interleaved per-feature GN chains (round 4; see the
+        affine kernel note — same latency-hiding restructure)."""
+        f0 = bi * batch
+        setups = [setup_one(f0 + k) for k in range(batch)]
+
+        def body(_, carry):
+            out = []
+            for k in range(batch):
                 (c00, c01, c10, c11, cx, cy, status, last_sq, cnt,
-                 done) = carry
+                 done) = carry[10 * k:10 * (k + 1)]
+                (inner, inner_valid, v8, px, py, rx, ry, _np_,
+                 inv_s) = setups[k]
                 wx = c00 * px + c01 * py + cx
                 wy = c10 * px + c11 * py + cy
                 # Window centered at the current feature position.
@@ -549,13 +610,19 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                 validf = valid.astype(jnp.float32)
                 vm = v8 * jnp.broadcast_to(validf, v8.shape)
                 # G[i, j] = sum(valid * v_i * v_j) (valid^2 == valid, so
-                # masking one side counts it exactly once).
-                # HIGHEST-precision (near-f32, not bit-exact f32):
-                # jrx/jry carry absolute coordinates, so the
-                # unequilibrated 3x3 has cond >> 1e3 — 3-pass split-bf16
-                # gram error would poison the Cholesky (affine note).
-                # The new bias reassociates rounding vs the old fused
-                # lane reduce; do not rely on bit-exactness here.
+                # masking one side counts it exactly once). The t-rows
+                # of v8 are pre-scaled by 1/s (setup), so this 3x3 GN
+                # system is solved in the scaled unknown v' = (s*dtheta,
+                # dtx, dty) against a COORDINATE-BALANCED G. Round-4
+                # measurements (10240x4 workload): swapping these two
+                # HIGHEST products for the 3-pass split saved NO time
+                # (175.9 vs 174.8 ms) and cost 22 tracked features —
+                # the matmul passes are not the LSSD bottleneck (a probe
+                # deleting the gram entirely also measured ~181 ms; the
+                # 2x cost over affine is SE(2) iteration volume, which
+                # is reference semantics). HIGHEST stays (near-f32, not
+                # bit-exact; rounding reassociates vs the old fused lane
+                # reduce).
                 g = _xdot(vm, v8, ((1,), (1,)), True)         # [8, 8]
                 bv = _xdot(residual, v8, ((1,), (1,)), True)  # [1, 8]
                 a4 = [c00, c01, c10, c11]
@@ -569,41 +636,62 @@ def _lssd_kernel(ref_pad, cur_pad, exm_c, exm_dx, exm_dy,
                       [h_yt, g[5, 4], g[5, 5]]]
                 b = [-sum(a4[i] * bv[0, i] for i in range(4)),
                      -bv[0, 4], -bv[0, 5]]
-                v = _chol_solve(h3, b)
+                vs = _chol_solve(h3, b)
+                # Unscale: dtheta = v'[0] / s (the advance's step-norm
+                # check and the rotation update use original units).
+                v = [vs[0] * inv_s, vs[1], vs[2]]
                 num_valid = g[6, 6].astype(jnp.int32)
                 upd, status, last_sq, cnt, done = _advance(
                     done, status, last_sq, cnt, v, num_valid, opts)
-                # rot @ [[1, -v0], [v0, 1]], then whole-matrix division by
-                # the first column's norm (lssd_klt.cpp:113-117).
+                # rot @ [[1, -v0], [v0, 1]], then whole-matrix division
+                # by the first column's norm (lssd_klt.cpp:113-117).
                 n00 = c00 + c01 * v[0]
                 n01 = c01 - c00 * v[0]
                 n10 = c10 + c11 * v[0]
                 n11 = c11 - c10 * v[0]
                 norm = jnp.sqrt(n00 * n00 + n10 * n10)
-                return (jnp.where(upd, n00 / norm, c00),
-                        jnp.where(upd, n01 / norm, c01),
-                        jnp.where(upd, n10 / norm, c10),
-                        jnp.where(upd, n11 / norm, c11),
-                        jnp.where(upd, cx + v[1], cx),
-                        jnp.where(upd, cy + v[2], cy),
-                        status, last_sq, cnt, done)
+                out.extend([jnp.where(upd, n00 / norm, c00),
+                            jnp.where(upd, n01 / norm, c01),
+                            jnp.where(upd, n10 / norm, c10),
+                            jnp.where(upd, n11 / norm, c11),
+                            jnp.where(upd, cx + v[1], cx),
+                            jnp.where(upd, cy + v[2], cy),
+                            status, last_sq, cnt, done])
+            return tuple(out)
 
-            (c00, c01, c10, c11, cx, cy, status, _, _, _) = (
-                iterate_until_done(
-                    body,
-                    (r00[f], r01[f], r10[f], r11[f], tx[f], ty[f],
-                     _status0(no_pixels), jnp.float32(jnp.inf),
-                     jnp.int32(0), no_pixels), opts.max_iterations))
-            o00[f] = c00
-            o01[f] = c01
-            o10[f] = c10
-            o11[f] = c11
-            otx[f] = cx
-            oty[f] = cy
-            out_status[f] = status
+        carry0 = []
+        for k in range(batch):
+            f = f0 + k
+            no_pixels = setups[k][7]
+            carry0.extend([r00[f], r01[f], r10[f], r11[f], tx[f], ty[f],
+                           _status0(no_pixels), jnp.float32(jnp.inf),
+                           jnp.int32(0), no_pixels])
+
+        def cond(c):
+            all_done = c[1 + 9]
+            for k in range(1, batch):
+                all_done = all_done & c[1 + 10 * k + 9]
+            return (c[0] < opts.max_iterations) & jnp.logical_not(all_done)
+
+        def step(c):
+            return (c[0] + 1,) + body(c[0], c[1:])
+
+        final = jax.lax.while_loop(cond, step,
+                                   (jnp.int32(0),) + tuple(carry0))[1:]
+        for k in range(batch):
+            @pl.when(tile_base + f0 + k < n_features)
+            def _(k=k):
+                f = f0 + k
+                o00[f] = final[10 * k]
+                o01[f] = final[10 * k + 1]
+                o10[f] = final[10 * k + 2]
+                o11[f] = final[10 * k + 3]
+                otx[f] = final[10 * k + 4]
+                oty[f] = final[10 * k + 5]
+                out_status[f] = final[10 * k + 6]
         return 0
 
-    jax.lax.fori_loop(0, TILE, one_feature, 0)
+    jax.lax.fori_loop(0, TILE // batch, one_batch, 0)
 
 
 def _prep(opts, ref_img, *vecs):
