@@ -1,0 +1,145 @@
+"""RAFT bf16 vs f32: accuracy delta + on-chip speed + stage split.
+
+VERDICT r3 item 6: benchmark RaftConfig(dtype=bfloat16) at 440x1024 with
+an EPE delta vs f32 on the trained compact weights, and record an
+encoder/lookup-GRU time split. The split uses the iteration-count probe:
+timing the forward at iters=1 and iters=12 gives
+  per-iteration (lookup + GRU + upsample) = (t12 - t1) / 11
+  encoders + correlation init          ~= t1 - per_iteration
+(BASELINE.md timing protocol: scalar checksum, device-side perturbation,
+dispatch floor subtracted, one process per program family.)
+
+Usage: python scripts/raft_bf16_eval.py [accuracy|speed]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _enable_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_cache()
+
+
+def _time(step, floor_fn, iters=3, rounds=3):
+    _ = float(step(0.0))
+    _ = float(floor_fn(0.0))
+    dt = fl = float("inf")
+    for w in range(rounds):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _ = float(step(0.01 * (w * iters + i + 1)))
+        dt = min(dt, (time.perf_counter() - t0) / iters)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _ = float(floor_fn(0.01 * (w * iters + i + 1)))
+        fl = min(fl, (time.perf_counter() - t0) / iters)
+    return max(dt - fl, 1e-9)
+
+
+def compact_cfg(dtype, iters=6):
+    import jax.numpy as jnp  # noqa: F401
+    from feature_tracker_tpu.models.raft import RaftConfig
+
+    return RaftConfig(max_iterations=iters, feature_channels=64,
+                      context_channels=64, hidden_channels=32,
+                      correlation_pyramid_levels=2, correlation_radius=3,
+                      correlation_hidden_channels=32,
+                      correlation_out_channels=16,
+                      flow_hidden_channels=16, flow_out_channels=8,
+                      motion_out_channels=16, mask_hidden_channels=32,
+                      dtype=dtype)
+
+
+def accuracy():
+    """EPE of the trained compact weights at f32 vs bf16 compute, on the
+    same held-out pool as weights/metrics.json's raft_small entry."""
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.models.raft import Raft
+    from feature_tracker_tpu.train.raft_eval import flow_metrics
+    from feature_tracker_tpu.train.raft_pretrain import make_pool
+    from feature_tracker_tpu.utils.weights import WEIGHTS_DIR, load_pytree
+
+    h = w = 64
+    batch = 4
+    out = {}
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        cfg = compact_cfg(dtype)
+        model = Raft(cfg)
+        like = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, h, w, 1)), jnp.zeros((1, h, w, 1)))
+        variables = load_pytree(
+            os.path.join(WEIGHTS_DIR, "raft_small.npz"), like)
+        eval_rng = np.random.default_rng(1000)  # seed 0 + 1000, as in
+        epool = make_pool(eval_rng, 4, h, w, batch,  # raft_pretrain main
+                          augment=False)
+        agg = None
+        for ref, cur, gt in epool:
+            preds = model.apply(variables, ref, cur)
+            m = {k: float(v)
+                 for k, v in flow_metrics(preds[-1].astype(jnp.float32),
+                                          gt).items()}
+            agg = m if agg is None else {k: agg[k] + m[k] for k in m}
+        out[name] = {k: round(v / len(epool), 4) for k, v in agg.items()}
+    out["epe_delta_bf16_minus_f32"] = round(
+        out["bf16"]["epe"] - out["f32"]["epe"], 4)
+    print(json.dumps({"raft_accuracy_64x64_compact_6it": out}), flush=True)
+
+
+def speed():
+    """440x1024 x 12 iters forward: f32 vs bf16, plus the stage split."""
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.models.raft import Raft, RaftConfig
+
+    h, w = 440, 1024
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.uniform(0, 255, (1, h, w, 1)), jnp.float32)
+    cur = jnp.asarray(rng.uniform(0, 255, (1, h, w, 1)), jnp.float32)
+    results = {}
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        times = {}
+        for iters in (1, 12):
+            cfg = RaftConfig(max_iterations=iters, low_memory=True,
+                             dtype=dtype)
+            model = Raft(cfg)
+            variables = model.init(jax.random.PRNGKey(0),
+                                   ref[:, :64, :64], cur[:, :64, :64])
+
+            def run(s):
+                flows = model.apply(variables, ref, cur + s)
+                return jnp.sum(flows[-1].astype(jnp.float32))
+
+            step = jax.jit(run)
+            floor_fn = jax.jit(lambda s: jnp.sum(cur + s))
+            times[iters] = _time(step, floor_fn)
+        per_it = (times[12] - times[1]) / 11.0
+        enc = times[1] - per_it
+        results[name] = {
+            "ms_12it": round(times[12] * 1e3, 2),
+            "fps_12it": round(1.0 / times[12], 2),
+            "per_iteration_ms": round(per_it * 1e3, 2),
+            "encoders_plus_init_ms": round(enc * 1e3, 2),
+        }
+    results["speedup_bf16"] = round(
+        results["f32"]["ms_12it"] / results["bf16"]["ms_12it"], 3)
+    print(json.dumps({"raft_speed_1024x440": results}), flush=True)
+
+
+if __name__ == "__main__":
+    {"accuracy": accuracy, "speed": speed}[sys.argv[1]]()

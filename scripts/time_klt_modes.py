@@ -19,6 +19,10 @@ import numpy as np
 def main():
     mode, batch = sys.argv[1], int(sys.argv[2])
     import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from feature_tracker_tpu.core.config import KltOptions
     from feature_tracker_tpu.ops.pyramid import build_pyramid
