@@ -462,3 +462,26 @@ def test_bundle_adjust_huber_downweights_outliers():
     err_hub = np.abs(np.asarray(t_hub) - t_true).max()
     assert err_hub < 0.05, (err_hub, np.asarray(t_hub))
     assert err_hub < err_l2 / 3.0, (err_hub, err_l2)
+
+
+def test_multihost_launcher_single_host_form():
+    """The pod launcher's CI form runs end-to-end in a subprocess
+    (own interpreter: it sets XLA_FLAGS/platform before importing jax)
+    and converges the synthetic window."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "multihost_ba.py"),
+         "--simulate-hosts", "2", "--landmarks", "2048", "--iters", "4"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert out.returncode == 0, out.stderr[-800:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["hosts"] == 2 and rec["mesh"] == {"dcn": 2, "ici": 4}
+    assert rec["rms_final"] < 0.05 * rec["rms_initial"]
