@@ -168,7 +168,7 @@ class CoTracker(nn.Module):
     cfg: CoTrackerConfig = CoTrackerConfig()
 
     @nn.compact
-    def __call__(self, video, queries):
+    def __call__(self, video, queries, return_all_iterations: bool = False):
         c = self.cfg
         t = video.shape[0]
         n = queries.shape[0]
@@ -197,11 +197,17 @@ class CoTracker(nn.Module):
                  _flow_embedding(flow.astype(c.dtype), emb_dim)], axis=-1)
             tokens = proj(tok) + feat_tokens
             delta, new_vis = mdl(tokens)
-            return (pos + delta, new_vis), None
+            new_pos = pos + delta
+            return (new_pos, new_vis), new_pos
 
         pos0 = jnp.broadcast_to(q_feat_pos[None, :, :], (t, n, 2))
         scan = nn.scan(refine, variable_broadcast="params",
                        split_rngs={"params": False}, length=c.iterations)
-        (pos, vis), _ = scan(update, (pos0, jnp.zeros((t, n))), None)
+        (pos, vis), pos_iters = scan(update, (pos0, jnp.zeros((t, n))),
+                                     None)
         del k2
+        if return_all_iterations:
+            # Every refinement iteration's positions [K, T, N, 2] for the
+            # RAFT-style exponentially weighted training loss.
+            return pos * c.stride, vis, pos_iters * c.stride
         return pos * c.stride, vis

@@ -61,6 +61,14 @@ class RaftConfig:
     # resolutions where the volume is hundreds of MB per frame).
     low_memory: bool = False
     dtype: jnp.dtype = jnp.float32  # compute dtype (bfloat16 for perf)
+    # Inference-only deviation: the reference returns the CONVEX-UPSAMPLED
+    # flow of EVERY iteration (model.py:95-97) — training supervises all
+    # of them. With True, the full-resolution unfold/softmax upsample
+    # (pure data movement, no learned compute beyond the mask head, which
+    # still runs per iteration so the param tree and net trajectory are
+    # unchanged) is applied only to the FINAL iteration; the returned
+    # list has length 1.
+    upsample_last_only: bool = False
 
 
 def _conv(features, kernel, stride=1, dtype=jnp.float32, name=None):
@@ -419,6 +427,10 @@ class Raft(nn.Module):
             flow = (cur_locs - ref_locs).astype(c.dtype)
             net_, up_mask, delta = mdl(net_, inp, corr, flow)
             cur_locs = cur_locs + delta.astype(jnp.float32)
+            if c.upsample_last_only:
+                # Defer the full-resolution upsample out of the scan;
+                # emit the low-res flow + mask instead.
+                return (net_, cur_locs), (cur_locs - ref_locs, up_mask)
             up = upsample_flow_convex(cur_locs - ref_locs, up_mask)
             return (net_, cur_locs), up
 
@@ -428,4 +440,7 @@ class Raft(nn.Module):
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False}, length=c.max_iterations)
         (_, _), predictions = scan(update, (net, ref_locs), None)
+        if c.upsample_last_only:
+            flows_lr, masks = predictions
+            return upsample_flow_convex(flows_lr[-1], masks[-1])[None]
         return predictions

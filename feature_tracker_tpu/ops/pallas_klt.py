@@ -1096,6 +1096,256 @@ def track_level_fast_pallas(opts: KltOptions, ref_img, cur_img, ref_uv,
                                      cur_uv, interpret=interpret)
 
 
+def _iter_kernel(*refs, opts: KltOptions, shapes, pad: int,
+                 n_features: int, precise: bool, inverse: bool,
+                 batch: int = BATCH):
+    """DIRECT/INVERSE basic-KLT modes on-chip (round 4).
+
+    Per-iteration H/b rebuild semantics of basic_klt.cpp:88-204, mapped
+    onto the fast kernel's machinery:
+     - ONE extended-patch const-weight sample yields the center patch
+       AND all four +-1 gradient shifts (they share the anchor's
+       fractional weights) — for INVERSE the ref-side sample is
+       level-setup-hoisted (gradients fixed); DIRECT re-samples the cur
+       extended patch each iteration and reads curv from its center.
+     - The combined validity (4 gradient shifts ∩ ref ∩ cur) is an
+       intersection of separable rectangles: one closed-form rect per
+       iteration masks the products and gives num_valid.
+     - The break machine is engine.py's non-divergence-counter variant:
+       incoming status preserved, per-iteration OUTSIDE break on the
+       updated position (run_klt_iterations(..., divergence_counter=
+       False) semantics)."""
+    levels = len(shapes)
+    ref_imgs = refs[:levels]
+    cur_imgs = refs[levels:2 * levels]
+    (ref_x, ref_y, cur_x, cur_y, st_in,
+     out_x, out_y, out_status) = refs[2 * levels:]
+    tile_base = pl.program_id(0) * TILE
+    epr, epc = opts.ex_patch_rows, opts.ex_patch_cols
+    samplers = [_RigidSampler(opts, h, w, pad, hp, wp, precise=precise)
+                for (h, w, hp, wp) in shapes]
+    ex_samplers = [_RigidSampler(opts, h, w, pad, hp, wp,
+                                 rows=epr, cols=epc, precise=precise)
+                   for (h, w, hp, wp) in shapes]
+
+    def ex_patches_batch(exs, imgs, xs, ys, b):
+        """Stacked extended-patch extraction (UNMASKED; masking happens
+        at use time through the combined rect)."""
+        uex_all, exloads, exstride = exs.stacked_samples(imgs, xs, ys)
+        out = []
+        for k in range(b):
+            _, wr0, wc0 = exloads[k]
+            ly0 = ys[k] - exs.pr // 2 - wr0.astype(jnp.float32)
+            rw = jnp.maximum(
+                0.0, 1.0 - jnp.abs(ly0 + exs.r_i.astype(jnp.float32)
+                                   - exs.r_r.astype(jnp.float32)))
+            uex = uex_all[exs.win_r * k:exs.win_r * (k + 1),
+                          exstride * k:exstride * k + exs.pc]
+            out.append(_xdot(rw, uex, ((1,), (0,)), precise))
+        return out
+
+    def track_level_batch(lvl, rxs, rys, xs, ys, sts):
+        smp = samplers[lvl]
+        exs = ex_samplers[lvl]
+        b = len(rxs)
+        img_h, img_w = smp.img_h, smp.img_w
+        pr, pc = smp.pr, smp.pc
+
+        # Level setup: ref extended patches (refv; + fixed gradients for
+        # INVERSE) and the fixed scalar rect anchors.
+        ex_refs = ex_patches_batch(exs, ref_imgs[lvl], rxs, rys, b)
+        setups = []
+        for k in range(b):
+            exr = ex_refs[k]
+            refv = exr[1:-1, 1:-1]
+            if inverse:
+                fx0 = exr[1:-1, 2:] - exr[1:-1, :-2]
+                fy0 = exr[2:, 1:-1] - exr[:-2, 1:-1]
+            else:
+                fx0 = fy0 = None
+            r_min_r = jnp.floor(rys[k]).astype(jnp.int32) - pr // 2
+            r_min_c = jnp.floor(rxs[k]).astype(jnp.int32) - pc // 2
+            setups.append((refv, fx0, fy0, r_min_r, r_min_c))
+
+        def body(carry):
+            xs_c = [carry[4 * k] for k in range(b)]
+            ys_c = [carry[4 * k + 1] for k in range(b)]
+            if not inverse:
+                ex_curs = ex_patches_batch(exs, cur_imgs[lvl], xs_c, ys_c,
+                                           b)
+            else:
+                loads = [smp.load_window(cur_imgs[lvl], xs_c[k], ys_c[k])
+                         for k in range(b)]
+            out = []
+            for k in range(b):
+                x, y, status, done = carry[4 * k:4 * (k + 1)]
+                refv, fx0, fy0, r_min_r, r_min_c = setups[k]
+                c_min_r = jnp.floor(y).astype(jnp.int32) - pr // 2
+                c_min_c = jnp.floor(x).astype(jnp.int32) - pc // 2
+                if inverse:
+                    cwin, cwr0, cwc0 = loads[k]
+                    curv, _ = smp.sample(cwin, cwr0, cwc0, x, y)
+                    fx, fy = fx0, fy0
+                    g_min_r, g_min_c = r_min_r, r_min_c
+                else:
+                    exc = ex_curs[k]
+                    curv = exc[1:-1, 1:-1]
+                    fx = exc[1:-1, 2:] - exc[1:-1, :-2]
+                    fy = exc[2:, 1:-1] - exc[:-2, 1:-1]
+                    g_min_r, g_min_c = c_min_r, c_min_c
+
+                # Combined validity rectangle (patch coordinates):
+                # gradient shifts need anchors in [1, dim-3], ref/cur
+                # patches in [0, dim-2] (optical_flow.cpp:68,73 bound).
+                ilo = jnp.maximum(jnp.maximum(1 - g_min_r, -r_min_r),
+                                  jnp.maximum(-c_min_r, 0))
+                ihi = jnp.minimum(
+                    jnp.minimum(img_h - 3 - g_min_r, img_h - 2 - r_min_r),
+                    jnp.minimum(img_h - 2 - c_min_r, pr - 1))
+                jlo = jnp.maximum(jnp.maximum(1 - g_min_c, -r_min_c),
+                                  jnp.maximum(-c_min_c, 0))
+                jhi = jnp.minimum(
+                    jnp.minimum(img_w - 3 - g_min_c, img_w - 2 - r_min_c),
+                    jnp.minimum(img_w - 2 - c_min_c, pc - 1))
+                m = ((smp.v_i >= ilo) & (smp.v_i <= ihi)
+                     & (smp.v_j >= jlo) & (smp.v_j <= jhi))
+                fx_m = jnp.where(m, fx, 0.0)
+                fy_m = jnp.where(m, fy, 0.0)
+                ft = jnp.where(m, curv - refv, 0.0)
+                h00 = jnp.sum(fx_m * fx_m)
+                h01 = jnp.sum(fx_m * fy_m)
+                h11 = jnp.sum(fy_m * fy_m)
+                b0 = -jnp.sum(fx_m * ft)
+                b1 = -jnp.sum(fy_m * ft)
+                det = h00 * h11 - h01 * h01
+                vx = (h11 * b0 - h01 * b1) / det
+                vy = (h00 * b1 - h01 * b0) / det
+                num_valid = (jnp.maximum(0, ihi - ilo + 1)
+                             * jnp.maximum(0, jhi - jlo + 1))
+
+                # engine.py non-divergence break machine + OUTSIDE break.
+                no_valid = num_valid == 0
+                isnan = jnp.isnan(vx) | jnp.isnan(vy)
+                sq = vx * vx + vy * vy
+                do_update = jnp.logical_not(done | no_valid | isnan)
+                nx = jnp.where(do_update, x + vx, x)
+                ny = jnp.where(do_update, y + vy, y)
+                outside = ((nx < 0) | (nx > img_w - 1)
+                           | (ny < 0) | (ny > img_h - 1))
+                extra_break = do_update & outside
+                converged = (do_update & (sq < opts.max_converge_step)
+                             & jnp.logical_not(extra_break))
+                new_status = jnp.where(
+                    isnan & jnp.logical_not(done | no_valid),
+                    jnp.int32(int(TrackStatus.NUMERIC_ERROR)),
+                    jnp.where(extra_break,
+                              jnp.int32(int(TrackStatus.OUTSIDE)),
+                              jnp.where(converged,
+                                        jnp.int32(int(
+                                            TrackStatus.TRACKED)),
+                                        status)))
+                status = jnp.where(done, status, new_status)
+                done = done | no_valid | isnan | converged | extra_break
+                out.extend([nx, ny, status, done])
+            return tuple(out)
+
+        carry0 = []
+        for k in range(b):
+            carry0.extend([xs[k], ys[k], sts[k], jnp.bool_(False)])
+
+        def cond(c):
+            all_done = c[1 + 3]
+            for k in range(1, b):
+                all_done = all_done & c[1 + 4 * k + 3]
+            return (c[0] < opts.max_iterations) & jnp.logical_not(all_done)
+
+        def step(c):
+            return (c[0] + 1,) + body(c[1:])
+
+        final = jax.lax.while_loop(cond, step,
+                                   (jnp.int32(0),) + tuple(carry0))[1:]
+        return ([final[4 * k] for k in range(b)],
+                [final[4 * k + 1] for k in range(b)],
+                [final[4 * k + 2] for k in range(b)])
+
+    def one_batch(bi, _):
+        f0 = bi * batch
+        scale = 1.0 / float(1 << (levels - 1))
+        rxs = [ref_x[f0 + k] * scale for k in range(batch)]
+        rys = [ref_y[f0 + k] * scale for k in range(batch)]
+        xs = [cur_x[f0 + k] * scale for k in range(batch)]
+        ys = [cur_y[f0 + k] * scale for k in range(batch)]
+        sts = [st_in[f0 + k] for k in range(batch)]
+        for lvl in range(levels - 1, -1, -1):
+            xs, ys, sts = track_level_batch(lvl, rxs, rys, xs, ys, sts)
+            if lvl > 0:
+                rxs = [v * 2.0 for v in rxs]
+                rys = [v * 2.0 for v in rys]
+                xs = [v * 2.0 for v in xs]
+                ys = [v * 2.0 for v in ys]
+        for k in range(batch):
+            @pl.when(tile_base + f0 + k < n_features)
+            def _(k=k):
+                out_x[f0 + k] = xs[k]
+                out_y[f0 + k] = ys[k]
+                out_status[f0 + k] = sts[k]
+        return 0
+
+    jax.lax.fori_loop(0, TILE // batch, one_batch, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("opts", "interpret", "batch"))
+def track_pyramid_iter_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
+                              ref_uv, cur_uv, status,
+                              interpret: bool = False,
+                              batch: int = BATCH):
+    """Whole-pyramid DIRECT/INVERSE-mode tracker in ONE kernel launch.
+
+    Mirrors the jnp _iterative_one semantics (trackers/klt/basic.py):
+    per-iteration H/b rebuild, incoming status preserved, per-iteration
+    OUTSIDE break, no divergence counter. Skip handling and the final
+    outside check stay in the caller."""
+    from feature_tracker_tpu.core.config import KltMethod
+
+    inverse = opts.method == KltMethod.INVERSE
+    levels = len(ref_pyramid)
+    n = ref_uv.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    vecs = [jnp.pad(v, (0, n_pad - n))
+            for v in (ref_uv[:, 0], ref_uv[:, 1], cur_uv[:, 0],
+                      cur_uv[:, 1], status.astype(jnp.int32))]
+
+    imgs = []
+    shapes = []
+    pad = None
+    for img in tuple(ref_pyramid) + tuple(cur_pyramid):
+        padded, shape, pad = _geometry(opts, img)
+        imgs.append(padded)
+        shapes.append(shape)
+    shapes = tuple(shapes[:levels])
+
+    kernel = functools.partial(_iter_kernel, opts=opts, shapes=shapes,
+                               pad=pad, n_features=n, precise=interpret,
+                               inverse=inverse, batch=batch)
+    smem_vec = _smem_vec()
+    out_x, out_y, out_st = pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * levels)
+        + [smem_vec] * 5,
+        out_specs=(smem_vec, smem_vec, smem_vec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+        ),
+        interpret=interpret,
+    )(*imgs, *vecs)
+    return (jnp.stack([out_x[:n], out_y[:n]], axis=-1),
+            out_st[:n].astype(jnp.int8))
+
+
 def pallas_available() -> bool:
     """True when running on a real TPU backend (the compiled kernel);
     tests use interpret mode on CPU."""

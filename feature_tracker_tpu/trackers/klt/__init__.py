@@ -44,10 +44,13 @@ def _skip_mask(n, status, opts):
 def _basic_pyramid(opts, ref_pyr, cur_pyr, ref_uv, cur_uv, status):
     n = ref_uv.shape[0]
     skip = _skip_mask(n, status, opts)
-    if opts.method == KltMethod.FAST and jax.default_backend() == "tpu":
-        # One Pallas launch runs the whole coarse-to-fine loop on-chip.
-        # Skipped features (failed earlier / beyond max_track_points) are
-        # PARKED off-image — n_ref == 0 makes their GN chains done before
+    if jax.default_backend() == "tpu":
+        # One Pallas launch runs the whole coarse-to-fine loop on-chip
+        # (all three solver modes since round 4 — the vmapped
+        # dynamic-slice fallback below lowers to HBM gathers that are
+        # ~4 orders slower on real TPUs). Skipped features (failed
+        # earlier / beyond max_track_points) are PARKED off-image —
+        # an empty validity rectangle ends their GN chains before
         # iteration 0 — and the tile is sorted alive-first so whole
         # interleave batches of dead features exit their while_loop
         # immediately (the CPU reference `continue`s dead features for
@@ -56,14 +59,19 @@ def _basic_pyramid(opts, ref_pyr, cur_pyr, ref_uv, cur_uv, status):
         # results discarded by the skip select below.
         from feature_tracker_tpu.ops.pallas_klt import (
             track_pyramid_fast_pallas,
+            track_pyramid_iter_pallas,
         )
         order = jnp.argsort(skip.astype(jnp.int8), stable=True)
         inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
         park = jnp.float32(-4096.0)
         ruv = jnp.where(skip[:, None], park, ref_uv)[order]
         cuv = jnp.where(skip[:, None], park, cur_uv)[order]
-        s_cur, st = track_pyramid_fast_pallas(opts, ref_pyr, cur_pyr,
-                                              ruv, cuv)
+        if opts.method == KltMethod.FAST:
+            s_cur, st = track_pyramid_fast_pallas(opts, ref_pyr, cur_pyr,
+                                                  ruv, cuv)
+        else:
+            s_cur, st = track_pyramid_iter_pallas(opts, ref_pyr, cur_pyr,
+                                                  ruv, cuv, status[order])
         s_cur, st = s_cur[inv], st[inv]
     else:
         scale = float(1 << (len(ref_pyr) - 1))

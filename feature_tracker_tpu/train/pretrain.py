@@ -114,7 +114,8 @@ def _photometric(rng, img):
 
 
 def warped_texture_pair(rng, h, w, max_theta=0.25, max_shift=12.0,
-                        use_real: bool | None = None, augment=True):
+                        use_real: bool | None = None, augment=True,
+                        scale_lo=0.9, scale_hi=1.12):
     """(img_a, img_b, warp) with img_b(q) = img_a(warp^-1(q)); a point at
     p in a appears at warp(p) = R_s p + t in b. Half the samples come
     from random crops of real imagery (_real_image_pool) so descriptors
@@ -124,7 +125,7 @@ def warped_texture_pair(rng, h, w, max_theta=0.25, max_shift=12.0,
     if use_real is None:
         use_real = len(pool) > 0 and rng.uniform() < 0.5
     theta = rng.uniform(-max_theta, max_theta)
-    scale = rng.uniform(0.9, 1.12)
+    scale = rng.uniform(scale_lo, scale_hi)
     c, s = np.cos(theta) * scale, np.sin(theta) * scale
     rot = np.array([[c, -s], [s, c]], np.float64)
     center = np.array([w / 2.0, h / 2.0])
@@ -499,7 +500,7 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
                      pool_size: int = 360, log_every: int = 200,
                      desc_temp: float = 0.1, det_weight: float = 1.0,
                      labeler: str = "harris", point_desc: bool = False,
-                     lr: float = 1e-4):
+                     lr: float = 1e-4, wide_scale: bool = False):
     """Viewpoint-adaptation training for SuperPoint (VERDICT r2 item 3):
     detector labels come from MULTI-WARP-STABLE HARRIS points
     (harris_adaptation_points — detections that persist across random
@@ -535,6 +536,27 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
         def label_points(im, r):
             return disk_adaptation_points(im, r, disk_det, n_warps,
                                           cap=48)
+    elif labeler == "disk_dense":
+        # Round-4 recipe (VERDICT r3 item 4): DISK's detections on each
+        # training image DIRECTLY as dense labels — no warp-stability
+        # intersection. The r3 stability-voted labels were sparse
+        # (intersection over 8 warps) and that recipe plateaued at
+        # 93 raw; per-image dense labels make the student fire wherever
+        # the teacher fires, inheriting DISK's repeatability (192 vs
+        # SuperPoint's 125 on the reference pair) by construction —
+        # viewpoint covariance comes from labeling each warped image
+        # independently, and the pool's wide_scale warps supply the
+        # scale axis the r3 recipe never exercised.
+        from feature_tracker_tpu.models.disk import DiskDetector
+        disk_det = DiskDetector.from_file(max_features=64,
+                                          min_feature_distance=4)
+        if disk_det is None:
+            raise FileNotFoundError(
+                "labeler='disk_dense' needs weights/disk.npz")
+
+        def label_points(im, r):
+            uv, _, num = disk_det.detect(jnp.asarray(im))
+            return [tuple(p) for p in np.asarray(uv)[:int(num)]]
     elif labeler == "harris":
         def label_points(im, r):
             return harris_adaptation_points(im, r, n_warps, cap=48)
@@ -562,9 +584,10 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
             # Real crops preferred: the analytic textures are
             # band-limited and carry few strong Harris corners.
             use_real = None if rng.uniform() < 0.2 else True
+            s_lo, s_hi = (0.7, 1.4) if wide_scale else (0.9, 1.12)
             img_a_, img_b_, warp = warped_texture_pair(
                 rng, h, w, max_theta=0.3, max_shift=14.0,
-                use_real=use_real)
+                use_real=use_real, scale_lo=s_lo, scale_hi=s_hi)
             labels = []
             pts_a = None
             for im in (img_a_, img_b_):
@@ -1125,13 +1148,19 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
                 lr=adapt_lr_micro / 1e6, batch=distill_batch,
                 pool_size=distill_pool)
         else:
+            # disk_adapt: 0 = harris voting labels, 1 = warp-stable DISK
+            # labels (r3, plateaued), 2 = dense per-image DISK labels +
+            # wide-scale warps (r4 recipe).
+            labeler = {0: "harris", 1: "disk",
+                       2: "disk_dense"}[int(disk_adapt)]
             new_params, ahist = adapt_superpoint(
                 sp_model, sp_params, rounds=adapt_rounds,
                 steps=adapt_steps, seed=adapt_seed,
                 desc_temp=desc_temp_milli / 1000.0,
                 det_weight=det_weight_pct / 100.0,
-                labeler="disk" if disk_adapt else "harris",
-                point_desc=bool(pt_desc), lr=adapt_lr_micro / 1e6)
+                labeler=labeler,
+                point_desc=bool(pt_desc), lr=adapt_lr_micro / 1e6,
+                wide_scale=disk_adapt == 2)
         new_counts = _sp_counts(new_params)
         print(f"[superpoint] adapted reference-pair counts: {new_counts} "
               f"(previous {pre_counts})", flush=True)

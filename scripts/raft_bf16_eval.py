@@ -112,11 +112,13 @@ def speed():
     ref = jnp.asarray(rng.uniform(0, 255, (1, h, w, 1)), jnp.float32)
     cur = jnp.asarray(rng.uniform(0, 255, (1, h, w, 1)), jnp.float32)
     results = {}
-    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    for name, dtype, last_only in (("f32", jnp.float32, False),
+                                   ("bf16", jnp.bfloat16, False),
+                                   ("bf16_last_up", jnp.bfloat16, True)):
         times = {}
         for iters in (1, 12):
             cfg = RaftConfig(max_iterations=iters, low_memory=True,
-                             dtype=dtype)
+                             dtype=dtype, upsample_last_only=last_only)
             model = Raft(cfg)
             variables = model.init(jax.random.PRNGKey(0),
                                    ref[:, :64, :64], cur[:, :64, :64])

@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -203,3 +205,28 @@ def test_batched_pallas_lookup_matches_per_item():
                                   interpret=True) for i in range(b)])
     assert out_b.shape == (b, h, w, 2 * 25)
     np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_i))
+
+
+def test_upsample_last_only_matches_final_prediction():
+    """The inference flag must reproduce the default path's FINAL
+    upsampled flow exactly (same iteration trajectory; only the
+    intermediate upsamples are skipped)."""
+    cfg = RaftConfig(max_iterations=3, feature_channels=32,
+                     context_channels=32, hidden_channels=16,
+                     correlation_pyramid_levels=2, correlation_radius=2,
+                     correlation_hidden_channels=16,
+                     correlation_out_channels=8, flow_hidden_channels=8,
+                     flow_out_channels=4, motion_out_channels=8,
+                     mask_hidden_channels=16)
+    model = Raft(cfg)
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.uniform(0, 255, (1, 48, 48, 1)), jnp.float32)
+    cur = jnp.asarray(rng.uniform(0, 255, (1, 48, 48, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ref, cur)
+
+    full = model.apply(variables, ref, cur)
+    last = Raft(dataclasses.replace(cfg, upsample_last_only=True)).apply(
+        variables, ref, cur)
+    assert len(last) == 1
+    np.testing.assert_allclose(np.asarray(full[-1]), np.asarray(last[0]),
+                               atol=1e-5)
