@@ -7,8 +7,9 @@ suite validates against the reference semantics.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from feature_tracker_tpu.core.config import KltOptions
+from feature_tracker_tpu.core.config import KltMethod, KltOptions
 from feature_tracker_tpu.core.status import TrackStatus
 from feature_tracker_tpu.ops.pallas_klt import track_level_fast_pallas
 from feature_tracker_tpu.trackers.klt.basic import track_level
@@ -241,3 +242,37 @@ def test_qdt_fold_matches_slow_path():
         both = (st_s == 1) & (st_q == 1)
         d = np.abs(np.asarray(uv_s)[both] - np.asarray(uv_q)[both])
         assert d.max() < 1e-2, (mode, batch, d.max())
+
+
+@pytest.mark.parametrize("method", [KltMethod.INVERSE, KltMethod.DIRECT])
+def test_iter_pallas_matches_jnp_pyramid(method):
+    """Whole-pyramid DIRECT/INVERSE kernel vs the jnp level loop: exact
+    status parity, positions to float tolerance."""
+    from feature_tracker_tpu.ops.pallas_klt import track_pyramid_iter_pallas
+    from feature_tracker_tpu.ops.pyramid import build_pyramid
+    from feature_tracker_tpu.trackers.klt import basic as _basic
+
+    ref, cur = translated_pair(h=120, w=160, shift=(2.5, -1.5))
+    rp = build_pyramid(jnp.asarray(ref), 3)
+    cp = build_pyramid(jnp.asarray(cur), 3)
+    rng = np.random.default_rng(0)
+    n = 32
+    uv = jnp.asarray(np.stack([rng.uniform(2, 158, n),
+                               rng.uniform(2, 118, n)], -1), jnp.float32)
+    st0 = jnp.zeros(n, jnp.int8)
+    opts = KltOptions(max_track_points=n, method=method)
+
+    scale = 4.0
+    s_ref, s_cur, st = uv / scale, uv / scale, st0
+    for lvl in (2, 1, 0):
+        s_cur, st = _basic.track_level(opts, rp[lvl], cp[lvl], s_ref,
+                                       s_cur, st)
+        if lvl > 0:
+            s_ref, s_cur = s_ref * 2, s_cur * 2
+
+    ub, sb = track_pyramid_iter_pallas(opts, rp, cp, uv, uv, st0,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(sb))
+    np.testing.assert_allclose(np.asarray(s_cur), np.asarray(ub),
+                               atol=1e-4)
+    assert (np.asarray(sb) == int(TrackStatus.TRACKED)).sum() >= n - 2
