@@ -1,9 +1,12 @@
-"""On-chip timing of track_pyramid_fast_pallas bias modes.
+"""On-chip timing of the basic-KLT Pallas kernels.
 
-Usage: python scripts/time_klt_modes.py <bias_mode> <batch>
-Prints one JSON line {mode, batch, ms, tracked}. Follows the BASELINE.md
-protocol: scalar-checksum output, device-side input perturbation, measured
-dispatch floor subtracted, own process per program.
+Usage: python scripts/time_klt_modes.py <mode> <batch>
+``mode`` is a fast-kernel bias mode (identity/qpf/qdt/qdtv/slow) or an
+iterative solver mode (``direct``/``inverse`` — the per-iteration
+H/b-rebuild kernel). Prints one JSON line {mode, batch, ms, tracked}.
+Follows the BASELINE.md protocol: scalar-checksum output, device-side
+input perturbation, measured dispatch floor subtracted, own process per
+program.
 """
 import json
 import os
@@ -45,18 +48,34 @@ def main():
     opts = KltOptions(max_track_points=n)
     uv_dev = jnp.asarray(uv)
 
+    if mode in ("direct", "inverse"):
+        from feature_tracker_tpu.core.config import KltMethod
+        from feature_tracker_tpu.ops.pallas_klt import (
+            track_pyramid_iter_pallas,
+        )
+        opts = KltOptions(max_track_points=n,
+                          method=(KltMethod.DIRECT if mode == "direct"
+                                  else KltMethod.INVERSE))
+        st0 = jnp.zeros(n, jnp.int8)
+
+        def track(uvp):
+            return track_pyramid_iter_pallas(opts, ref_pyr, cur_pyr, uvp,
+                                             uvp, st0, batch=batch)
+    else:
+        def track(uvp):
+            return track_pyramid_fast_pallas(opts, ref_pyr, cur_pyr, uvp,
+                                             uvp, bias_mode=mode,
+                                             batch=batch)
+
     def run(s):
         uvp = uv_dev + s
-        out_uv, st = track_pyramid_fast_pallas(
-            opts, ref_pyr, cur_pyr, uvp, uvp,
-            bias_mode=mode, batch=batch)
+        out_uv, st = track(uvp)
         return jnp.sum(out_uv) + jnp.sum(st.astype(jnp.int32))
 
     step = jax.jit(run)
     floor = jax.jit(lambda s: jnp.sum(uv_dev + s))
 
-    out_uv, st = track_pyramid_fast_pallas(
-        opts, ref_pyr, cur_pyr, uv_dev, uv_dev, bias_mode=mode, batch=batch)
+    out_uv, st = track(uv_dev)
     tracked = int((np.asarray(st) == 1).sum())
 
     _ = float(step(0.0)); _ = float(floor(0.0))
