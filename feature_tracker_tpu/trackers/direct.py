@@ -220,9 +220,20 @@ def _track_level(opts: DirectMethodOptions, ref_img, cur_img, k4, p_ref,
         new_done = done | isnan | (jnp.sum(dx * dx) < opts.max_converge_step)
         return new_q, new_p, new_cur_uv, new_done
 
-    q, p, cur_uv, _ = jax.lax.fori_loop(
-        0, opts.max_iterations, body,
-        (q0, p0, cur_uv0, jnp.asarray(False)))
+    # The GN chain is GLOBAL (one pose for the whole frame), so unlike
+    # the per-feature trackers the early exit is a real while_loop exit,
+    # not a masked lane: the reference breaks after ~3-5 iterations
+    # (direct_method_tracker.cpp:122) and the fixed-15 fori_loop paid the
+    # full compute for every converged iteration (round-4 fix; the
+    # done-masked body is unchanged, so results are bit-identical).
+    def wcond(c):
+        return (c[0] < opts.max_iterations) & jnp.logical_not(c[1][3])
+
+    def wstep(c):
+        return c[0] + 1, body(c[0], c[1])
+
+    _, (q, p, cur_uv, _) = jax.lax.while_loop(
+        wcond, wstep, (jnp.int32(0), (q0, p0, cur_uv0, jnp.asarray(False))))
     return q, p, cur_uv
 
 
