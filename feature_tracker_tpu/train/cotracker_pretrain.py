@@ -150,12 +150,19 @@ def make_train_step(model, tx, gamma: float = 0.8):
         return pos_loss + vis_loss, epe
 
     @jax.jit
-    def step(params, opt_state, video, queries, tracks, vis):
+    def step(params, ema, opt_state, video, queries, tracks, vis):
         (loss, epe), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, video, queries, tracks, vis)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, epe
+        # Parameter EMA for evaluation/shipping: training at batch 2 is
+        # spiky late in the schedule (r4 grid: a 6000-step run ended at
+        # EPE 9.0 after passing through ~4.5; the shipped 3.50 was
+        # partly cosine-decay timing luck) — the EMA smooths over the
+        # spikes instead of shipping whatever the last step landed on.
+        ema = jax.tree_util.tree_map(
+            lambda e, p: 0.999 * e + 0.001 * p, ema, params)
+        return params, ema, opt_state, loss, epe
 
     return step
 
@@ -190,13 +197,17 @@ def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
 
     pool = make_pool(rng, min(steps, 120), batch, t, h, w, n_points,
                      augment=bool(augment), wide_motion=bool(wide_motion))
+    ema = params
     for it in range(steps):
         video, queries, tracks, vis = pool[it % len(pool)]
-        params, opt_state, loss, epe = step(params, opt_state, video,
-                                            queries, tracks, vis)
+        params, ema, opt_state, loss, epe = step(params, ema, opt_state,
+                                                 video, queries, tracks,
+                                                 vis)
         if it % log_every == 0 or it == steps - 1:
             print(f"[cotracker] step {it}: loss={float(loss):.3f} "
                   f"epe={float(epe):.3f}", flush=True)
+    # Evaluate/ship the EMA parameters.
+    params = ema
 
     # Held-out evaluation (fresh rng stream, no photometric augmentation
     # so the metric reflects geometry, not appearance jitter).
