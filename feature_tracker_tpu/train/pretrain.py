@@ -1080,7 +1080,7 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
          desc_temp_milli=100, det_weight_pct=100, disk_adapt=0,
          pt_desc=0, adapt_lr_micro=100, distill=0, distill_batch=4,
          distill_pool=360, lg_disk_steps=-1, disk_reuse=0,
-         disk_hinge_milli=0, disk_lr_micro=1000):
+         disk_hinge_milli=0, disk_lr_micro=1000, wide_scale=-1):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -1153,6 +1153,7 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
             # wide-scale warps (r4 recipe).
             labeler = {0: "harris", 1: "disk",
                        2: "disk_dense"}[int(disk_adapt)]
+            ws = (disk_adapt == 2) if wide_scale < 0 else bool(wide_scale)
             new_params, ahist = adapt_superpoint(
                 sp_model, sp_params, rounds=adapt_rounds,
                 steps=adapt_steps, seed=adapt_seed,
@@ -1160,7 +1161,7 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
                 det_weight=det_weight_pct / 100.0,
                 labeler=labeler,
                 point_desc=bool(pt_desc), lr=adapt_lr_micro / 1e6,
-                wide_scale=disk_adapt == 2)
+                wide_scale=ws)
         new_counts = _sp_counts(new_params)
         print(f"[superpoint] adapted reference-pair counts: {new_counts} "
               f"(previous {pre_counts})", flush=True)
