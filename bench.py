@@ -357,14 +357,33 @@ def w_farneback():
     ref, cur = _load_pair()
     rp = build_pyramid(jnp.asarray(ref), 5, quantize=False)
     cp = build_pyramid(jnp.asarray(cur), 5, quantize=False)
-    flow_fn = DenseOpticalFlow(DenseFlowOptions(half_patch_size=2,
-                                                max_iterations=20)).track
+    opts = DenseFlowOptions(half_patch_size=2, max_iterations=20)
+    flow_fn = DenseOpticalFlow(opts).track
     dt, tinfo = _time_scalar_step(
         lambda s: jnp.sum(flow_fn(rp, tuple(l + s for l in cp))),
         lambda s: jnp.sum(cp[0] + s))
-    _emit("farneback_ms_per_frame", dt * 1e3, "ms",
-          R1_ANCHOR_MS["farneback"] / (dt * 1e3),
-          {"resolution": "752x480", "fps": round(1.0 / dt, 2), **tinfo})
+
+    # Measured single-thread CPU baseline (native Farneback port, r4).
+    try:
+        from feature_tracker_tpu.runtime.cpu_baseline import farneback_cpu
+        rpn = [np.asarray(l) for l in rp]
+        cpn = [np.asarray(l) for l in cp]
+        cpu_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            farneback_cpu(rpn, cpn, opts)
+            cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+        cpu_ms = cpu_dt * 1e3
+    except Exception:
+        cpu_ms = -1.0
+
+    vs = (cpu_ms / (dt * 1e3)) if cpu_ms > 0 \
+        else R1_ANCHOR_MS["farneback"] / (dt * 1e3)
+    _emit("farneback_ms_per_frame", dt * 1e3, "ms", vs,
+          {"resolution": "752x480", "fps": round(1.0 / dt, 2),
+           "cpu_baseline_ms": round(cpu_ms, 1),
+           "vs_r1_anchor": round(R1_ANCHOR_MS["farneback"] / (dt * 1e3),
+                                 3), **tinfo})
 
 
 def w_direct():

@@ -68,6 +68,14 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_float,
         ]
+        lib.ftk_farneback_pyramid.restype = ctypes.c_int
+        lib.ftk_farneback_pyramid.argtypes = [
+            ctypes.POINTER(pf), ctypes.POINTER(pf),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            pf, pf,
+        ]
         _lib = lib
         return _lib
 
@@ -192,3 +200,39 @@ def direct_method_cpu(ref_pyramid, cur_pyramid, k4, p_c_in_ref, ref_uv,
             "ftk_direct_method_pyramid: unsupported config (patch side "
             f"> 64, n > 4096, levels outside 1..16) — rc={rc}")
     return out_uv, q, p, st
+
+
+def farneback_cpu(ref_pyramid, cur_pyramid, opts=None):
+    """Single-thread CPU dense Farneback flow over a pyramid (level 0 =
+    finest). Mirrors DenseOpticalFlow.track's contract: flow [2, H, W]
+    (channel 0 = row flow, 1 = col flow)."""
+    from feature_tracker_tpu.trackers.dense import DenseFlowOptions
+
+    opts = opts or DenseFlowOptions()
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libftk_klt_baseline.so unavailable")
+
+    levels = len(ref_pyramid)
+    refs = [np.ascontiguousarray(np.asarray(im), np.float32)
+            for im in ref_pyramid]
+    curs = [np.ascontiguousarray(np.asarray(im), np.float32)
+            for im in cur_pyramid]
+    h, w = refs[0].shape
+    out_r = np.zeros((h, w), np.float32)
+    out_c = np.zeros((h, w), np.float32)
+
+    pf = ctypes.POINTER(ctypes.c_float)
+    ref_ptrs = (pf * levels)(*[im.ctypes.data_as(pf) for im in refs])
+    cur_ptrs = (pf * levels)(*[im.ctypes.data_as(pf) for im in curs])
+    hs = (ctypes.c_int * levels)(*[im.shape[0] for im in refs])
+    ws = (ctypes.c_int * levels)(*[im.shape[1] for im in refs])
+    rc = lib.ftk_farneback_pyramid(
+        ref_ptrs, cur_ptrs, hs, ws, levels,
+        opts.half_patch_size, opts.max_iterations,
+        opts.max_converge_step, opts.max_delta_flow_step,
+        out_r.ctypes.data_as(pf), out_c.ctypes.data_as(pf))
+    if rc != 0:
+        raise ValueError(
+            f"ftk_farneback_pyramid: unsupported config — rc={rc}")
+    return np.stack([out_r, out_c])

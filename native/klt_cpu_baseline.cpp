@@ -22,6 +22,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -861,3 +863,232 @@ int ftk_klt_lssd_fast_pyramid(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- Farneback
+// Single-thread dense optical flow via Gaussian polynomial expansion —
+// the measured-CPU-baseline counterpart of trackers/dense.py (reference
+// algorithm: dense_optical_flow.cpp:87-371). Faithful per-pixel loops,
+// structurally independent implementation: flat row-major arrays, direct
+// O(k^2) moment windows with replicate border, per-pixel damped 2x2 GN
+// with step cap, 3x3 median, bilinear 2x upsample with magnitude x2.
+
+static inline float fb_px(const float* img, int h, int w, int r, int c) {
+    if (r < 0) r = 0;
+    if (r > h - 1) r = h - 1;
+    if (c < 0) c = 0;
+    if (c > w - 1) c = w - 1;
+    return img[r * w + c];
+}
+
+// 6 Gaussian-weighted moment maps (S0, Sr, Sc, Src, Srr, Scc), [6*h*w].
+static void fb_moments(const float* img, int h, int w, int half,
+                       float* out) {
+    const int k = 2 * half + 1;
+    std::vector<float> g(k);
+    double gs = 0.0;
+    for (int i = 0; i < k; ++i) {
+        double d = i - half;
+        g[i] = static_cast<float>(std::exp(-0.5 * d * d));
+        gs += g[i];
+    }
+    // Normalized 2D kernel w(dr, dc) = g(dr) g(dc) / sum.
+    const double norm = gs * gs;
+    for (int r = 0; r < h; ++r) {
+        for (int c = 0; c < w; ++c) {
+            double s0 = 0, sr = 0, sc = 0, src = 0, srr = 0, scc = 0;
+            for (int dr = -half; dr <= half; ++dr) {
+                for (int dc = -half; dc <= half; ++dc) {
+                    double wgt = (double)g[dr + half] * g[dc + half] / norm;
+                    double v = wgt * fb_px(img, h, w, r + dr, c + dc);
+                    s0 += v;
+                    sr += v * dr;
+                    sc += v * dc;
+                    src += v * dr * dc;
+                    srr += v * dr * dr;
+                    scc += v * dc * dc;
+                }
+            }
+            const int n = h * w;
+            out[0 * n + r * w + c] = (float)s0;
+            out[1 * n + r * w + c] = (float)sr;
+            out[2 * n + r * w + c] = (float)sc;
+            out[3 * n + r * w + c] = (float)src;
+            out[4 * n + r * w + c] = (float)srr;
+            out[5 * n + r * w + c] = (float)scc;
+        }
+    }
+}
+
+// Kernel moments k2/k4/k22 of the normalized 2D Gaussian window.
+static void fb_kernel_moments(int half, float* k2, float* k4, float* k22) {
+    const int k = 2 * half + 1;
+    std::vector<double> g(k);
+    double gs = 0.0;
+    for (int i = 0; i < k; ++i) {
+        double d = i - half;
+        g[i] = std::exp(-0.5 * d * d);
+        gs += g[i];
+    }
+    double m2 = 0, m4 = 0, m22 = 0;
+    for (int i = 0; i < k; ++i) {
+        for (int j = 0; j < k; ++j) {
+            double wgt = g[i] * g[j] / (gs * gs);
+            double dr = i - half, dc = j - half;
+            m2 += wgt * dr * dr;
+            m4 += wgt * dr * dr * dr * dr;
+            m22 += wgt * dr * dr * dc * dc;
+        }
+    }
+    *k2 = (float)m2;
+    *k4 = (float)m4;
+    *k22 = (float)m22;
+}
+
+static inline void fb_poly(const float* m6, int n, int idx, float k2,
+                           float k4, float k22, float* a, float* bq,
+                           float* c, float* br, float* bc) {
+    const float s0 = m6[0 * n + idx], sr = m6[1 * n + idx];
+    const float sc = m6[2 * n + idx], src = m6[3 * n + idx];
+    const float srr = m6[4 * n + idx], scc = m6[5 * n + idx];
+    const float dd = k4 - k2 * k2;
+    const float ee = k22 - k2 * k2;
+    const float t1 = (srr + scc - 2.0f * k2 * s0) / (dd + ee + 1e-6f);
+    const float t2 = (srr - scc) / (dd - ee + 1e-6f);
+    *a = 0.5f * (t1 + t2);
+    *bq = 0.5f * (t1 - t2);
+    *c = src / (k22 + 1e-6f);
+    *br = sr / (k2 + 1e-6f);
+    *bc = sc / (k2 + 1e-6f);
+}
+
+// Bilinear sample of one moment map at clamped float position.
+static inline float fb_interp(const float* map, int h, int w, float r,
+                              float c) {
+    if (r < 0.0f) r = 0.0f;
+    if (r > h - 1.0f) r = (float)(h - 1);
+    if (c < 0.0f) c = 0.0f;
+    if (c > w - 1.0f) c = (float)(w - 1);
+    int r0 = (int)std::floor(r);
+    int c0 = (int)std::floor(c);
+    if (r0 > h - 2) r0 = h - 2;
+    if (c0 > w - 2) c0 = w - 2;
+    const float fr = r - r0, fc = c - c0;
+    const float tl = map[r0 * w + c0], tr = map[r0 * w + c0 + 1];
+    const float bl = map[(r0 + 1) * w + c0], brv = map[(r0 + 1) * w + c0 + 1];
+    return (1 - fr) * (1 - fc) * tl + (1 - fr) * fc * tr
+           + fr * (1 - fc) * bl + fr * fc * brv;
+}
+
+static void fb_median3x3(float* chan, int h, int w, float* tmp) {
+    for (int r = 0; r < h; ++r) {
+        for (int c = 0; c < w; ++c) {
+            float v[9];
+            int m = 0;
+            for (int dr = -1; dr <= 1; ++dr)
+                for (int dc = -1; dc <= 1; ++dc)
+                    v[m++] = fb_px(chan, h, w, r + dr, c + dc);
+            std::sort(v, v + 9);
+            tmp[r * w + c] = v[4];
+        }
+    }
+    std::memcpy(chan, tmp, sizeof(float) * h * w);
+}
+
+extern "C" int ftk_farneback_pyramid(
+    const float** ref_imgs, const float** cur_imgs, const int* hs,
+    const int* ws, int levels, int half, int max_iterations,
+    float max_converge_step, float max_delta_flow_step,
+    float* out_flow_row, float* out_flow_col) {
+    if (levels < 1 || levels > 16 || half < 0 || half > 15) return 1;
+    const int h0 = hs[0], w0 = ws[0];
+    float k2, k4, k22;
+    fb_kernel_moments(half, &k2, &k4, &k22);
+
+    std::vector<float> flow_r, flow_c;
+    for (int lvl = levels - 1; lvl >= 0; --lvl) {
+        const int h = hs[lvl], w = ws[lvl], n = h * w;
+        std::vector<float> m1(6 * n), m2(6 * n);
+        fb_moments(ref_imgs[lvl], h, w, half, m1.data());
+        fb_moments(cur_imgs[lvl], h, w, half, m2.data());
+
+        std::vector<float> fr(n, 0.0f), fc(n, 0.0f);
+        if (lvl < levels - 1) {
+            // Bilinear 2x upsample of the coarser flow, magnitude x2
+            // (dense_optical_flow.cpp:64-79).
+            const int sh = hs[lvl + 1], sw = ws[lvl + 1];
+            for (int r = 0; r < h; ++r) {
+                for (int c = 0; c < w; ++c) {
+                    fr[r * w + c] = 2.0f * fb_interp(flow_r.data(), sh, sw,
+                                                     0.5f * r, 0.5f * c);
+                    fc[r * w + c] = 2.0f * fb_interp(flow_c.data(), sh, sw,
+                                                     0.5f * r, 0.5f * c);
+                }
+            }
+        }
+
+        for (int r = 0; r < h; ++r) {
+            for (int c = 0; c < w; ++c) {
+                const int idx = r * w + c;
+                float a1, bq1, c1, br1, bc1;
+                fb_poly(m1.data(), n, idx, k2, k4, k22, &a1, &bq1, &c1,
+                        &br1, &bc1);
+                float vr = fr[idx], vc = fc[idx];
+                for (int it = 0; it < max_iterations; ++it) {
+                    // Sample the 6 cur moments at the warped position,
+                    // then its polynomial coefficients.
+                    float m6s[6];
+                    for (int q = 0; q < 6; ++q)
+                        m6s[q] = fb_interp(m2.data() + q * n, h, w,
+                                           r + vr, c + vc);
+                    const float s0 = m6s[0], sr_ = m6s[1], sc_ = m6s[2];
+                    const float src_ = m6s[3], srr_ = m6s[4],
+                                scc_ = m6s[5];
+                    const float dd = k4 - k2 * k2, ee = k22 - k2 * k2;
+                    const float t1 =
+                        (srr_ + scc_ - 2.0f * k2 * s0) / (dd + ee + 1e-6f);
+                    const float t2 = (srr_ - scc_) / (dd - ee + 1e-6f);
+                    const float a2 = 0.5f * (t1 + t2);
+                    const float bq2 = 0.5f * (t1 - t2);
+                    const float c2 = src_ / (k22 + 1e-6f);
+                    const float br2 = sr_ / (k2 + 1e-6f);
+                    const float bc2 = sc_ / (k2 + 1e-6f);
+                    // M = A1 + A2, d = b1 - b2; H = M^T M + lambda I.
+                    const float m00 = a1 + a2;
+                    const float m01 = 0.5f * (c1 + c2);
+                    const float m11 = bq1 + bq2;
+                    const float d0 = br1 - br2, d1 = bc1 - bc2;
+                    float h00 = m00 * m00 + m01 * m01;
+                    const float h01 = m01 * (m00 + m11);
+                    float h11 = m01 * m01 + m11 * m11;
+                    const float lam = 0.1f * (h00 + h11) + 1.0f;
+                    h00 += lam;
+                    h11 += lam;
+                    const float g0 = m00 * d0 + m01 * d1;
+                    const float g1 = m01 * d0 + m11 * d1;
+                    const float det = h00 * h11 - h01 * h01;
+                    float dr = (h11 * g0 - h01 * g1) / det;
+                    float dc = (h00 * g1 - h01 * g0) / det;
+                    const float nrm = std::sqrt(dr * dr + dc * dc);
+                    if (nrm > max_delta_flow_step) {
+                        dr *= max_delta_flow_step / nrm;
+                        dc *= max_delta_flow_step / nrm;
+                    }
+                    vr += dr;
+                    vc += dc;
+                    if (dr * dr + dc * dc < max_converge_step) break;
+                }
+                fr[idx] = vr;
+                fc[idx] = vc;
+            }
+        }
+
+        std::vector<float> tmp(n);
+        fb_median3x3(fr.data(), h, w, tmp.data());
+        fb_median3x3(fc.data(), h, w, tmp.data());
+        flow_r.swap(fr);
+        flow_c.swap(fc);
+    }
+    std::memcpy(out_flow_row, flow_r.data(), sizeof(float) * h0 * w0);
+    std::memcpy(out_flow_col, flow_c.data(), sizeof(float) * h0 * w0);
+    return 0;
+}

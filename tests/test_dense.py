@@ -39,3 +39,26 @@ def test_dense_zero_shift_is_zero_flow():
     ref, _ = translated_pair(h=96, w=96, seed=5)
     flow = np.asarray(DenseOpticalFlow().track_single_level(ref, ref))
     assert np.abs(flow).max() < 1e-3
+
+
+def test_cpu_farneback_port_matches_jnp_path():
+    """The native single-thread Farneback port (the bench row's measured
+    CPU baseline) must reproduce the jnp pyramid flow within float/bf16
+    table tolerance on interior pixels."""
+    from feature_tracker_tpu.runtime import cpu_baseline
+
+    if not cpu_baseline.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    ref, cur = translated_pair(h=120, w=160, shift=(3.0, -2.0))
+    rp = build_pyramid(jnp.asarray(ref), 3, quantize=False)
+    cp = build_pyramid(jnp.asarray(cur), 3, quantize=False)
+    opts = DenseFlowOptions(half_patch_size=2, max_iterations=10)
+    fj = np.asarray(DenseOpticalFlow(opts).track(rp, cp))
+    fc = cpu_baseline.farneback_cpu([np.asarray(l) for l in rp],
+                                    [np.asarray(l) for l in cp], opts)
+    j = fj[:, 10:-10, 10:-10]
+    c = fc[:, 10:-10, 10:-10]
+    assert np.abs(j - c).mean() < 0.05
+    np.testing.assert_allclose(np.median(c[0]), -2.0, atol=0.05)
+    np.testing.assert_allclose(np.median(c[1]), 3.0, atol=0.05)
