@@ -16,6 +16,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+try:
+    # Persistent compile cache: repeated demo runs skip the multi-minute
+    # tunnel compiles (same setup as bench.py / scripts/*).
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 DATA_ROOT = os.environ.get("FTK_DATA", "/root/reference/example")
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "output")
 
