@@ -226,11 +226,19 @@ def w_klt_stream():
             for name in ("left.png", "000001.png", "000002.png",
                          "000003.png", "000004.png", "000005.png")])
     except Exception:
+        # Cumulatively shifted frames (shift * i) so every chained pair
+        # tracks consistent forward motion like the real-sequence path
+        # ([a, b] * 3 would alternate forward/reverse motion and make
+        # survivor counts incomparable).
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tests"))
-        from synthetic import translated_pair
-        a, b_img = translated_pair(h=376, w=1241, shift=(2.0, -1.0))
-        frames = np.stack([a, b_img] * 3)
+        from synthetic import Texture
+        tex = Texture(seed=0)
+        dx, dy = 2.0, -1.0
+        frames = np.stack([
+            tex.render(376, 1241,
+                       warp=lambda x, y, i=i: (x - dx * i, y - dy * i))
+            for i in range(6)])
 
     t, (h, w) = frames.shape[0], frames.shape[1:]
     n = 10240

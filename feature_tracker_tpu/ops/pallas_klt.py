@@ -126,6 +126,33 @@ WIN_C = 128  # window lanes: patch cols 16 + 64-granular anchor offset
              # halving every sampling matmul's contraction width vs the
              # round-2 256-lane windows with 128-granular anchors)
 
+# Stacked-sampler stride limit: stacked_samples packs each feature's
+# column block at a 16- or 32-lane stride (16 when cols <= 16, else 32).
+# An extended patch wider than 32 columns would overrun its 32-lane slot
+# and alias the NEXT feature's block — silently wrong tracks, no crash.
+# Both whole-pyramid entry points extract extended patches through the
+# stacked sampler (every bias mode, "slow" included), so both check this
+# at trace time; the tracker dispatch falls back to the vmapped jnp path
+# for wider patches.
+MAX_EX_PATCH_DIM = 32
+
+
+def pallas_patch_supported(opts: KltOptions) -> bool:
+    """True when the whole-pyramid kernels' stacked-sampler layout can
+    hold this patch size (ex-patch rows/cols <= 32, i.e. half size <= 14)."""
+    return max(opts.ex_patch_rows, opts.ex_patch_cols) <= MAX_EX_PATCH_DIM
+
+
+def _check_patch_limits(opts: KltOptions, entry: str) -> None:
+    if not pallas_patch_supported(opts):
+        raise ValueError(
+            f"{entry} requires ex-patch rows/cols <= {MAX_EX_PATCH_DIM} "
+            f"(stacked-sampler 32-lane stride); got "
+            f"{opts.ex_patch_rows}x{opts.ex_patch_cols} "
+            f"(patch_row/col_half_size {opts.patch_row_half_size}/"
+            f"{opts.patch_col_half_size}). Use the vmapped jnp path for "
+            f"wider patches.")
+
 
 class _RigidSampler:
     """Rigid (constant-bilinear-weight) patch sampler in 2D layout.
@@ -1040,6 +1067,7 @@ def track_pyramid_fast_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
             bias_mode = "slow"
     if bias_mode not in ("qpf", "qdtv", "qdt", "identity", "slow"):
         raise ValueError(f"unknown bias_mode {bias_mode!r}")
+    _check_patch_limits(opts, "track_pyramid_fast_pallas")
     if bias_mode != "slow" and (opts.patch_cols > 16
                                 or opts.patch_rows > 16):
         raise ValueError(
@@ -1308,6 +1336,7 @@ def track_pyramid_iter_pallas(opts: KltOptions, ref_pyramid, cur_pyramid,
     outside check stay in the caller."""
     from feature_tracker_tpu.core.config import KltMethod
 
+    _check_patch_limits(opts, "track_pyramid_iter_pallas")
     inverse = opts.method == KltMethod.INVERSE
     levels = len(ref_pyramid)
     n = ref_uv.shape[0]

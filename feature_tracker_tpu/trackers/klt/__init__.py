@@ -42,9 +42,15 @@ def _skip_mask(n, status, opts):
 
 @partial(jax.jit, static_argnames=("opts",))
 def _basic_pyramid(opts, ref_pyr, cur_pyr, ref_uv, cur_uv, status):
+    from feature_tracker_tpu.ops.pallas_klt import pallas_patch_supported
+
     n = ref_uv.shape[0]
     skip = _skip_mask(n, status, opts)
-    if jax.default_backend() == "tpu":
+    # Patches wider than the Pallas stacked-sampler stride (ex-patch dim
+    # > 32, i.e. half size >= 15) would alias adjacent feature blocks in
+    # the kernels — those fall through to the vmapped jnp path (correct,
+    # much slower on TPU; the kernels raise if called directly).
+    if jax.default_backend() == "tpu" and pallas_patch_supported(opts):
         # One Pallas launch runs the whole coarse-to-fine loop on-chip
         # (all three solver modes since round 4 — the vmapped
         # dynamic-slice fallback below lowers to HBM gathers that are

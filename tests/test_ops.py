@@ -106,3 +106,20 @@ def test_greedy_suppression_matches_sequential_scan():
                                             jnp.asarray(conflict),
                                             chunk=64))
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_pyramid_quantize_warns_on_normalized_input():
+    """quantize=True floor-truncation destroys [0,1] imagery — a concrete
+    normalized-float input must warn and point to quantize=False."""
+    import warnings
+
+    rng = np.random.default_rng(0)
+    img01 = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    img255 = np.floor(img01 * 255).astype(np.float32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        build_pyramid(img01, 3)
+        assert len(rec) == 1 and "quantize=False" in str(rec[0].message)
+        build_pyramid(img255, 3)          # integer gray values: silent
+        build_pyramid(img01, 3, quantize=False)  # explicit opt-out: silent
+        assert len(rec) == 1

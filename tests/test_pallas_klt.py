@@ -276,3 +276,32 @@ def test_iter_pallas_matches_jnp_pyramid(method):
     np.testing.assert_allclose(np.asarray(s_cur), np.asarray(ub),
                                atol=1e-4)
     assert (np.asarray(sb) == int(TrackStatus.TRACKED)).sum() >= n - 2
+
+
+@pytest.mark.parametrize("entry", ["fast", "iter"])
+def test_wide_patch_raises_stride_guard(entry):
+    """Ex-patch dims past the stacked-sampler 32-lane stride must raise
+    (silent aliasing otherwise); the tracker dispatch falls back to jnp."""
+    from feature_tracker_tpu.ops.pallas_klt import (
+        pallas_patch_supported,
+        track_pyramid_fast_pallas,
+        track_pyramid_iter_pallas,
+    )
+
+    opts = KltOptions(patch_row_half_size=15, patch_col_half_size=15,
+                      method=(KltMethod.FAST if entry == "fast"
+                              else KltMethod.INVERSE))
+    assert not pallas_patch_supported(opts)
+    img = jnp.zeros((64, 64), jnp.float32)
+    uv = jnp.zeros((4, 2), jnp.float32)
+    with pytest.raises(ValueError, match="stacked-sampler"):
+        if entry == "fast":
+            track_pyramid_fast_pallas(opts, (img,), (img,), uv, uv,
+                                      interpret=True)
+        else:
+            track_pyramid_iter_pallas(opts, (img,), (img,), uv, uv,
+                                      jnp.zeros(4, jnp.int8),
+                                      interpret=True)
+    # half size 14 (ex-patch 31) still fits the 32-lane stride.
+    assert pallas_patch_supported(
+        KltOptions(patch_row_half_size=14, patch_col_half_size=14))
