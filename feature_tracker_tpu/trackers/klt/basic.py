@@ -178,12 +178,15 @@ def track_level(opts: KltOptions, ref_img, cur_img, ref_uv, cur_uv, status):
     if opts.method == KltMethod.FAST and jax.default_backend() == "tpu":
         # On real TPUs the whole level loop runs as one Pallas kernel —
         # the vmapped dynamic_slice formulation below lowers to HBM
-        # gathers that are ~4 orders of magnitude slower there.
+        # gathers that are ~4 orders of magnitude slower there. Patches
+        # wider than the stacked-sampler stride stay on the jnp path.
         from feature_tracker_tpu.ops.pallas_klt import (
+            pallas_patch_supported,
             track_level_fast_pallas,
         )
-        return track_level_fast_pallas(opts, ref_img, cur_img, ref_uv,
-                                       cur_uv)
+        if pallas_patch_supported(opts):
+            return track_level_fast_pallas(opts, ref_img, cur_img, ref_uv,
+                                           cur_uv)
     pad = max(opts.ex_patch_rows, opts.ex_patch_cols) + 3
     ref_pad = pad_image(ref_img, pad)
     cur_pad = pad_image(cur_img, pad)
