@@ -94,8 +94,139 @@ def synthetic_video(rng, t, h, w, n_points, max_theta_step=0.04,
             tracks.astype(np.float32), vis.astype(np.float32))
 
 
+_REAL_TRACKS = None
+
+
+def _np_pyramid(img, levels=4):
+    """Numpy twin of ops.pyramid.build_pyramid(quantize=True) — label
+    generation must not touch the TPU (the native CPU KLT port does the
+    tracking)."""
+    pyr = [np.floor(img).astype(np.float32)]
+    for _ in range(levels - 1):
+        a = pyr[-1]
+        h2, w2 = (a.shape[0] // 2) * 2, (a.shape[1] // 2) * 2
+        pyr.append(np.floor((a[0:h2:2, 0:w2:2] + a[1:h2:2, 0:w2:2]
+                             + a[0:h2:2, 1:w2:2] + a[1:h2:2, 1:w2:2])
+                            * 0.25))
+    return pyr
+
+
+def _real_video_tracks(grid_step=6, margin=20, fb_tol=0.5):
+    """REAL video with KLT-verified pseudo-label tracks (VERDICT r4
+    item 4): the mounted 6-frame KITTI sequence, dense grid seeds
+    tracked 0->5 by the native CPU fast-KLT port (chained pairs), then
+    5->0 from the endpoints; a track survives only if every status is
+    TRACKED both ways and the round trip returns within ``fb_tol`` px.
+    Label noise is the KLT endpoint error (~0.03-0.1 px vs the native
+    ground truth — far below the EPEs being measured).
+
+    Returns (frames [6, H, W] f32, tracks [6, M, 2] f32), cached; (None,
+    None) when the imagery or the native port is unavailable."""
+    global _REAL_TRACKS
+    if _REAL_TRACKS is not None:
+        return _REAL_TRACKS
+    _REAL_TRACKS = (None, None)
+    try:
+        from feature_tracker_tpu.core.config import KltOptions
+        from feature_tracker_tpu.runtime.cpu_baseline import klt_fast_cpu
+
+        frames = _real_image_pool()
+        if len(frames) < 3:
+            return _REAL_TRACKS
+        frames = np.stack(frames[:6])
+        t, (ih, iw) = frames.shape[0], frames.shape[1:]
+        xs = np.arange(margin, iw - margin, grid_step, dtype=np.float32)
+        ys = np.arange(margin, ih - margin, grid_step, dtype=np.float32)
+        gx, gy = np.meshgrid(xs, ys)
+        uv0 = np.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+        opts = KltOptions(max_track_points=uv0.shape[0])
+        pyrs = [_np_pyramid(f) for f in frames]
+
+        fwd = [uv0]
+        alive = np.ones(uv0.shape[0], bool)
+        uv, st = uv0, None
+        for i in range(t - 1):
+            uv, st = klt_fast_cpu(pyrs[i], pyrs[i + 1], uv, cur_uv=uv,
+                                  status=st, opts=opts)
+            alive &= (st == 1)
+            fwd.append(uv)
+        buv, bst = fwd[-1], None
+        for i in range(t - 1, 0, -1):
+            buv, bst = klt_fast_cpu(pyrs[i], pyrs[i - 1], buv, cur_uv=buv,
+                                    status=bst, opts=opts)
+            alive &= (bst == 1)
+        alive &= (np.linalg.norm(buv - uv0, axis=-1) < fb_tol)
+        tracks = np.stack(fwd)[:, alive]          # [T, M, 2]
+        if tracks.shape[1] >= 64:
+            _REAL_TRACKS = (frames, tracks.astype(np.float32))
+    except Exception:
+        pass
+    return _REAL_TRACKS
+
+
+def real_video_sample(rng, t, h, w, n_points, augment=True,
+                      max_drift_step=3.0):
+    """One training sample from the REAL sequence: a crop window (with a
+    smooth random per-frame drift — known camera shake on top of the
+    real scene motion) around a randomly chosen verified track, frame
+    indices ping-ponged to length ``t``. Same contract as
+    synthetic_video; returns None when real data is unavailable."""
+    frames, tracks = _real_video_tracks()
+    if frames is None:
+        return None
+    tf, (ih, iw) = frames.shape[0], frames.shape[1:]
+    idx = list(range(tf))
+    while len(idx) < t:  # ping-pong: 0,1,..,5,4,3,.. (real motion both ways)
+        nxt = idx[-2] if len(idx) >= 2 else 0
+        step = -1 if idx[-1] > nxt else 1
+        idx.append(idx[-1] + step if 0 <= idx[-1] + step < tf else 1)
+    idx = np.asarray(idx[:t])
+
+    margin = 6
+    for _ in range(20):
+        anchor = tracks[0, rng.integers(tracks.shape[1])]
+        ox = np.clip(anchor[0] - rng.uniform(margin, w - margin),
+                     0, iw - w - 1 - max_drift_step * t)
+        oy = np.clip(anchor[1] - rng.uniform(margin, h - margin),
+                     0, ih - h - 1 - max_drift_step * t)
+        ox = max(ox, max_drift_step * t)
+        oy = max(oy, max_drift_step * t)
+        in0 = ((tracks[0, :, 0] >= ox + margin)
+               & (tracks[0, :, 0] <= ox + w - margin)
+               & (tracks[0, :, 1] >= oy + margin)
+               & (tracks[0, :, 1] <= oy + h - margin))
+        if in0.sum() >= n_points:
+            break
+    else:
+        return None
+    sel = rng.choice(np.nonzero(in0)[0], n_points, replace=False)
+
+    # Smooth window drift: origin_k = origin + cumsum of small steps.
+    drift = np.zeros((t, 2))
+    drift[1:] = np.cumsum(
+        rng.uniform(-max_drift_step, max_drift_step, (t - 1, 2)), axis=0)
+    origins = np.stack([ox, oy]) + drift                    # [t, 2]
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    vid = []
+    for k in range(t):
+        f = _bilinear_np(frames[idx[k]], xx + origins[k, 0],
+                         yy + origins[k, 1])
+        if augment and k > 0:
+            f = _photometric(rng, f)
+        vid.append(f.astype(np.float32))
+    video = np.stack(vid)[..., None]
+
+    tr = tracks[idx][:, sel] - origins[:, None, :]          # [t, N, 2]
+    queries = tr[0]
+    vis = ((tr[..., 0] >= 0) & (tr[..., 0] <= w - 1)
+           & (tr[..., 1] >= 0) & (tr[..., 1] <= h - 1))
+    return (video.astype(np.float32), queries.astype(np.float32),
+            tr.astype(np.float32), vis.astype(np.float32))
+
+
 def make_pool(rng, n, batch, t, h, w, n_points, augment=True,
-              wide_motion=False):
+              wide_motion=False, real_frac=0.0):
     """``wide_motion`` samples per-video step magnitudes up to ~6 px
     shift / 0.08 rad (VERDICT r3 item 7: with the default gentle motion
     the zero-motion baseline is already ~3 px and hard to beat early;
@@ -105,13 +236,19 @@ def make_pool(rng, n, batch, t, h, w, n_points, augment=True,
     for _ in range(n):
         vids, qs, trs, vs = [], [], [], []
         for _ in range(batch):
-            if wide_motion:
-                kw = {"max_theta_step": rng.uniform(0.01, 0.08),
-                      "max_shift_step": rng.uniform(1.0, 6.0)}
-            else:
-                kw = {}
-            v, q, tr, vi = synthetic_video(rng, t, h, w, n_points,
-                                           augment=augment, **kw)
+            sample = None
+            if real_frac > 0 and rng.uniform() < real_frac:
+                sample = real_video_sample(rng, t, h, w, n_points,
+                                           augment=augment)
+            if sample is None:
+                if wide_motion:
+                    kw = {"max_theta_step": rng.uniform(0.01, 0.08),
+                          "max_shift_step": rng.uniform(1.0, 6.0)}
+                else:
+                    kw = {}
+                sample = synthetic_video(rng, t, h, w, n_points,
+                                         augment=augment, **kw)
+            v, q, tr, vi = sample
             vids.append(v)
             qs.append(q)
             trs.append(tr)
@@ -170,11 +307,17 @@ def make_train_step(model, tx, gamma: float = 0.8):
 def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
          n_points: int = 24, batch: int = 2, seed: int = 0,
          log_every: int = 25, eval_videos: int = 8, augment: int = 1,
-         lr_micro: int = 50, wide_motion: int = 1, save: int = 1):
+         lr_micro: int = 50, wide_motion: int = 1, save: int = 1,
+         real_pct: int = 0, pool_size: int = 120, feature_dim: int = 64,
+         model_dim: int = 128, depth: int = 2, iterations: int = 4):
+    """``real_pct`` mixes REAL KITTI-video samples with KLT-verified
+    pseudo-label tracks into the pool (VERDICT r4 item 4); capacity
+    knobs (feature_dim/model_dim/depth/iterations) expose the
+    paper-scale axis — the r4 grid saturated the small model."""
     os.makedirs(WEIGHTS_DIR, exist_ok=True)
     t0 = time.time()
-    cfg = CoTrackerConfig(feature_dim=64, model_dim=128, depth=2,
-                          iterations=4)
+    cfg = CoTrackerConfig(feature_dim=feature_dim, model_dim=model_dim,
+                          depth=depth, iterations=iterations)
     model = CoTracker(cfg)
     rng = np.random.default_rng(seed)
 
@@ -195,8 +338,9 @@ def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
     opt_state = tx.init(params)
     step = make_train_step(model, tx)
 
-    pool = make_pool(rng, min(steps, 120), batch, t, h, w, n_points,
-                     augment=bool(augment), wide_motion=bool(wide_motion))
+    pool = make_pool(rng, min(steps, pool_size), batch, t, h, w, n_points,
+                     augment=bool(augment), wide_motion=bool(wide_motion),
+                     real_frac=real_pct / 100.0)
     ema = params
     for it in range(steps):
         video, queries, tracks, vis = pool[it % len(pool)]
@@ -241,10 +385,39 @@ def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
         "iterations": cfg.iterations,
         "train_steps": steps,
         "lr_peak": lr_micro * 1e-6,
+        "batch": batch,
         "wide_motion_train": bool(wide_motion),
         "all_iteration_loss": True,
+        "real_video_pct": real_pct,
+        "pool_size": pool_size,
+        "config": {"feature_dim": cfg.feature_dim,
+                   "model_dim": cfg.model_dim, "depth": cfg.depth,
+                   "iterations": cfg.iterations},
         "wall_s": round(time.time() - t0, 1),
     }
+    # Real-video held-out probe (fresh rng; crops of the SAME 6-frame
+    # sequence — report-only, the synthetic held-out EPE is the gate).
+    real_rng = np.random.default_rng(seed + 2000)
+    r_err = r_zero = r_vis = 0.0
+    for _ in range(eval_videos):
+        s = real_video_sample(real_rng, t, h, w, n_points, augment=False)
+        if s is None:
+            break
+        video, queries, tracks, vis = (jnp.asarray(a) for a in s)
+        pred, _ = apply(video, queries)
+        err = np.linalg.norm(np.asarray(pred) - np.asarray(tracks), axis=-1)
+        zero = np.linalg.norm(np.asarray(tracks)
+                              - np.asarray(queries)[None], axis=-1)
+        v = np.asarray(vis)
+        r_err += float((err * v).sum())
+        r_zero += float((zero * v).sum())
+        r_vis += float(v.sum())
+    if r_vis > 0:
+        agg["real_epe"] = round(r_err / r_vis, 4)
+        agg["real_zero_motion_epe"] = round(r_zero / r_vis, 4)
+    print("[cotracker] real-video probe:",
+          json.dumps({k: agg.get(k) for k in
+                      ("real_epe", "real_zero_motion_epe")}), flush=True)
     print("[cotracker] held-out:", json.dumps(agg), flush=True)
 
     # Gated ship (the pretrain.py convention): never overwrite weights

@@ -118,7 +118,7 @@ def main():
     cur_tuple = tuple(comp_cur)
     cuv_c, st_c = track_pyramid_fast_pallas(opts_big, ref_tuple, cur_tuple,
                                             uv_comp, uv_comp)
-    cuv_c = np.asarray(cuv_c).reshape(k, n, 2)
+    cuv_c = np.array(cuv_c).reshape(k, n, 2)
     cuv_c[..., 1] -= band * np.arange(k, dtype=np.float32)[:, None]
     st_c = np.asarray(st_c).reshape(k, n)
     mismatch = 0
