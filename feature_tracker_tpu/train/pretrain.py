@@ -557,6 +557,28 @@ def adapt_superpoint(model, params, rounds: int = 1, steps: int = 1200,
         def label_points(im, r):
             uv, _, num = disk_det.detect(jnp.asarray(im))
             return [tuple(p) for p in np.asarray(uv)[:int(num)]]
+    elif labeler == "disk_topk":
+        # Round-5 recipe (VERDICT r4 item 5): the teacher's SPARSE
+        # top-K per-image detections as labels. Per-image labeling keeps
+        # the repeatability axis (every warped crop is labeled
+        # independently — the r3 stability-voted INTERSECTION of 8 warps
+        # plateaued at 93 raw), while the small K and wide NMS radius
+        # keep ~5/6 of the cells dustbin — the r4 dense recipe's failure
+        # mechanism was 64 labels at 4-px NMS labeling nearly every 8x8
+        # cell, which starved the dustbin class and destroyed the
+        # response RANKING the demo's top-300 cap selects by. Top-K
+        # selection itself carries the teacher's ranking: only its
+        # strongest responses become targets.
+        from feature_tracker_tpu.models.disk import DiskDetector
+        disk_det = DiskDetector.from_file(max_features=24,
+                                          min_feature_distance=8)
+        if disk_det is None:
+            raise FileNotFoundError(
+                "labeler='disk_topk' needs weights/disk.npz")
+
+        def label_points(im, r):
+            uv, _, num = disk_det.detect(jnp.asarray(im))
+            return [tuple(p) for p in np.asarray(uv)[:int(num)]]
     elif labeler == "harris":
         def label_points(im, r):
             return harris_adaptation_points(im, r, n_warps, cap=48)
@@ -1150,10 +1172,12 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
         else:
             # disk_adapt: 0 = harris voting labels, 1 = warp-stable DISK
             # labels (r3, plateaued), 2 = dense per-image DISK labels +
-            # wide-scale warps (r4 recipe).
-            labeler = {0: "harris", 1: "disk",
-                       2: "disk_dense"}[int(disk_adapt)]
-            ws = (disk_adapt == 2) if wide_scale < 0 else bool(wide_scale)
+            # wide-scale warps (r4 recipe, gate-rejected twice), 3 =
+            # sparse per-image top-K DISK labels (r5 recipe).
+            labeler = {0: "harris", 1: "disk", 2: "disk_dense",
+                       3: "disk_topk"}[int(disk_adapt)]
+            ws = (disk_adapt in (2, 3)) if wide_scale < 0 \
+                else bool(wide_scale)
             new_params, ahist = adapt_superpoint(
                 sp_model, sp_params, rounds=adapt_rounds,
                 steps=adapt_steps, seed=adapt_seed,

@@ -87,6 +87,77 @@ def sequence_loss(predictions, gt_flow, gamma: float):
     return jnp.sum(weights * l1)
 
 
+def _warp_bilinear(img, flow):
+    """Backward warp: sample ``img`` at p + flow(p).
+
+    img ``[B, H, W, C]``, flow ``[B, H, W, 2]`` (dx, dy). Returns
+    (warped ``[B, H, W, C]``, valid ``[B, H, W, 1]`` — 1 where all four
+    taps land inside the image)."""
+    b, h, w, c = img.shape
+    gx, gy = jnp.meshgrid(jnp.arange(w, dtype=flow.dtype),
+                          jnp.arange(h, dtype=flow.dtype))
+    x = gx[None] + flow[..., 0]
+    y = gy[None] + flow[..., 1]
+    valid = ((x >= 0) & (x <= w - 1) & (y >= 0)
+             & (y <= h - 1)).astype(img.dtype)[..., None]
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = img.reshape(b, h * w, c)
+
+    def tap(yi, xi):
+        idx = (yi * w + xi).reshape(b, h * w, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
+
+    out = ((1 - fy) * (1 - fx) * tap(y0i, x0i)
+           + (1 - fy) * fx * tap(y0i, x0i + 1)
+           + fy * (1 - fx) * tap(y0i + 1, x0i)
+           + fy * fx * tap(y0i + 1, x0i + 1))
+    return out, valid
+
+
+def _edge_aware_smoothness(flow, image):
+    """First-order smoothness of the flow, downweighted at image edges
+    (exp(-|dI|/8) on 0..255 gray) — the standard unsupervised-flow
+    regularizer that keeps the photometric term from collapsing into
+    noise in textureless regions."""
+    di_x = jnp.abs(image[:, :, 1:] - image[:, :, :-1]).mean(-1, keepdims=True)
+    di_y = jnp.abs(image[:, 1:] - image[:, :-1]).mean(-1, keepdims=True)
+    wx = jnp.exp(-di_x / 8.0)
+    wy = jnp.exp(-di_y / 8.0)
+    df_x = jnp.abs(flow[:, :, 1:] - flow[:, :, :-1])
+    df_y = jnp.abs(flow[:, 1:] - flow[:, :-1])
+    return (jnp.mean(wx * df_x) + jnp.mean(wy * df_y))
+
+
+def photometric_sequence_loss(predictions, ref, cur, gamma: float,
+                              smooth_weight: float = 0.05):
+    """Unsupervised photometric-warp loss over per-iteration predictions
+    (VERDICT r4 item 4: REAL consecutive frames have no dense flow
+    ground truth — supervision is ref(p) ~ cur(p + flow(p))).
+
+    Charbonnier on the 0..1-scaled warp residual over in-image pixels,
+    exponentially weighted per iteration like sequence_loss, plus an
+    edge-aware smoothness term on each predicted flow."""
+    t = predictions.shape[0]
+    weights = gamma ** jnp.arange(t - 1, -1, -1, dtype=predictions.dtype)
+    total = 0.0
+    for k in range(t):
+        warped, valid = _warp_bilinear(cur, predictions[k])
+        resid = (ref - warped) / 255.0
+        photo = jnp.sum(valid * jnp.sqrt(resid * resid + 1e-6)) \
+            / jnp.maximum(jnp.sum(valid), 1.0)
+        total = total + weights[k] * (
+            photo + smooth_weight * _edge_aware_smoothness(
+                predictions[k] / 8.0, ref))
+    return total
+
+
 def make_train_step(raft_cfg: RaftConfig, train_cfg: RaftTrainConfig,
                     mesh: Mesh | None = None):
     """Build the jitted train step.
@@ -116,6 +187,51 @@ def make_train_step(raft_cfg: RaftConfig, train_cfg: RaftTrainConfig,
 
     if mesh is None:
         return jax.jit(train_step)
+    return _shard_step(train_step, mesh)
+
+
+def make_unsup_train_step(raft_cfg: RaftConfig, train_cfg: RaftTrainConfig,
+                          smooth_weight: float = 0.05,
+                          mesh: Mesh | None = None):
+    """Photometric-warp (unsupervised) train step for REAL frame pairs
+    with no flow ground truth. Same state/optimizer contract as
+    make_train_step; reports the photometric loss and the mean |flow| of
+    the final iteration (no EPE — there is no ground truth)."""
+    model = Raft(raft_cfg)
+    tx = make_optimizer(train_cfg)
+
+    def train_step(state: TrainState, ref, cur):
+        def loss_fn(params):
+            preds, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                ref, cur, train=True, mutable=["batch_stats"])
+            loss = photometric_sequence_loss(preds, ref, cur,
+                                             train_cfg.gamma,
+                                             smooth_weight)
+            return loss, (preds, updates["batch_stats"])
+
+        (loss, (preds, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        mean_flow = jnp.mean(jnp.linalg.norm(preds[-1], axis=-1))
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, {"loss": loss, "mean_flow": mean_flow}
+
+    if mesh is None:
+        return jax.jit(train_step)
+    batch_spec = P("data", "model")
+    replicated = NamedSharding(mesh, P())
+    data_sharding = NamedSharding(mesh, batch_spec)
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, data_sharding, data_sharding),
+        out_shardings=(replicated, replicated),
+    )
+
+
+def _shard_step(train_step, mesh):
 
     batch_spec = P("data", "model")  # [B, H, W, C] -> shard B and H
     replicated = NamedSharding(mesh, P())
