@@ -1102,7 +1102,8 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
          desc_temp_milli=100, det_weight_pct=100, disk_adapt=0,
          pt_desc=0, adapt_lr_micro=100, distill=0, distill_batch=4,
          distill_pool=360, lg_disk_steps=-1, disk_reuse=0,
-         disk_hinge_milli=0, disk_lr_micro=1000, wide_scale=-1):
+         disk_hinge_milli=0, disk_lr_micro=1000, wide_scale=-1,
+         adapt_pool=360):
     from feature_tracker_tpu.models.superpoint import (
         SuperPoint,
         SuperPointConfig,
@@ -1183,7 +1184,7 @@ def main(sp_steps=1500, disk_steps=1200, lg_steps=2000, adapt_rounds=2,
                 steps=adapt_steps, seed=adapt_seed,
                 desc_temp=desc_temp_milli / 1000.0,
                 det_weight=det_weight_pct / 100.0,
-                labeler=labeler,
+                labeler=labeler, pool_size=adapt_pool,
                 point_desc=bool(pt_desc), lr=adapt_lr_micro / 1e6,
                 wide_scale=ws)
         new_counts = _sp_counts(new_params)
