@@ -45,6 +45,9 @@ class CoTrackerConfig:
     num_heads: int = 4
     depth: int = 2                # transformer blocks per refinement
     iterations: int = 4
+    # Sinusoidal time encoding on the tokens (param-free). Off by
+    # default: weights trained without it expect unshifted activations.
+    time_encoding: bool = False
     dtype: jnp.dtype = jnp.float32
 
 
@@ -187,6 +190,21 @@ class CoTracker(nn.Module):
         emb_dim = (c.model_dim // 4) * 4
 
         feat_tokens = feat_proj(track_feat)[None, :, :]       # [1, N, D]
+        # Param-free sinusoidal TIME encoding: without it the time
+        # attention is permutation-invariant along T (frame order would
+        # be visible only through the flow-embedding content), so the
+        # model cannot express trajectory smoothness priors. Works for
+        # any T; adds no parameters. Config-gated because weights
+        # trained without it expect unshifted activations.
+        if c.time_encoding:
+            ti = jnp.arange(t, dtype=jnp.float32)[:, None]    # [T, 1]
+            di = jnp.arange(c.model_dim, dtype=jnp.float32)[None, :]
+            ang = ti / jnp.power(100.0, (di // 2) * 2.0 / c.model_dim)
+            time_tokens = jnp.where((di % 2) == 0, jnp.sin(ang),
+                                    jnp.cos(ang)).astype(
+                                        c.dtype)[:, None, :]  # [T, 1, D]
+        else:
+            time_tokens = jnp.zeros((t, 1, c.model_dim), c.dtype)
 
         def refine(mdl, carry, _):
             pos, vis = carry                                  # [T, N, 2]
@@ -195,7 +213,7 @@ class CoTracker(nn.Module):
             tok = jnp.concatenate(
                 [corr.astype(c.dtype),
                  _flow_embedding(flow.astype(c.dtype), emb_dim)], axis=-1)
-            tokens = proj(tok) + feat_tokens
+            tokens = proj(tok) + feat_tokens + time_tokens
             delta, new_vis = mdl(tokens)
             new_pos = pos + delta
             return (new_pos, new_vis), new_pos

@@ -309,7 +309,8 @@ def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
          log_every: int = 25, eval_videos: int = 8, augment: int = 1,
          lr_micro: int = 50, wide_motion: int = 1, save: int = 1,
          real_pct: int = 0, pool_size: int = 120, feature_dim: int = 64,
-         model_dim: int = 128, depth: int = 2, iterations: int = 4):
+         model_dim: int = 128, depth: int = 2, iterations: int = 4,
+         time_enc: int = 1):
     """``real_pct`` mixes REAL KITTI-video samples with KLT-verified
     pseudo-label tracks into the pool (VERDICT r4 item 4); capacity
     knobs (feature_dim/model_dim/depth/iterations) expose the
@@ -317,7 +318,8 @@ def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
     os.makedirs(WEIGHTS_DIR, exist_ok=True)
     t0 = time.time()
     cfg = CoTrackerConfig(feature_dim=feature_dim, model_dim=model_dim,
-                          depth=depth, iterations=iterations)
+                          depth=depth, iterations=iterations,
+                          time_encoding=bool(time_enc))
     model = CoTracker(cfg)
     rng = np.random.default_rng(seed)
 
@@ -392,7 +394,8 @@ def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
         "pool_size": pool_size,
         "config": {"feature_dim": cfg.feature_dim,
                    "model_dim": cfg.model_dim, "depth": cfg.depth,
-                   "iterations": cfg.iterations},
+                   "iterations": cfg.iterations,
+                   "time_encoding": cfg.time_encoding},
         "wall_s": round(time.time() - t0, 1),
     }
     # Real-video held-out probe (fresh rng; crops of the SAME 6-frame
