@@ -84,7 +84,9 @@ def main():
     h = int(sys.argv[2]) if len(sys.argv) > 2 else 376
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 5120
-    levels, gap, inner = 4, 64, 8
+    # gap >= (ex_patch + 1) * 2^(levels-1) (trackers/klt/multi.py): the
+    # coarsest-level gap must cover one extended patch.
+    levels, gap, inner = 4, 128, 8
     assert h % (1 << (levels - 1)) == 0 and gap % (1 << (levels - 1)) == 0
 
     pairs = load_pairs(k, h, w)

@@ -155,3 +155,38 @@ def test_track_stream_matches_chained_pairs(cls):
     ok = st_f == int(TrackStatus.TRACKED)
     np.testing.assert_allclose(moved[ok], np.tile((4.5, -3.0), (ok.sum(), 1)),
                                atol=0.2)
+
+
+def test_track_pairs_matches_per_pair_calls():
+    """The composite multi-pair launch reproduces per-pair tracking for
+    interior features (same arithmetic on identical neighborhoods)."""
+    from feature_tracker_tpu.trackers.klt.multi import track_pairs
+    from tests.synthetic import translated_pair
+
+    # Exact parity needs features >= (patch_half+2)*2^(levels-1) = 32 px
+    # inside their image (multi.py docstring).
+    k, h, w, n = 2, 96, 128, 12
+    pyrs_r, pyrs_c, uvs = [], [], []
+    rng = np.random.default_rng(0)
+    for i in range(k):
+        ref, cur = translated_pair(h=h, w=w, shift=(2.0 + i, -1.5), seed=i)
+        pyrs_r.append(build_pyramid(jnp.asarray(ref), 3))
+        pyrs_c.append(build_pyramid(jnp.asarray(cur), 3))
+        uvs.append(np.stack([rng.uniform(36, w - 36, n),
+                             rng.uniform(36, h - 36, n)],
+                            -1).astype(np.float32))
+    uv = np.stack(uvs)
+    tracker = BasicKlt(KltOptions(max_track_points=k * n))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="coarsest"):
+        track_pairs(tracker, pyrs_r, pyrs_c, uv, gap=16)
+    cuv, st = track_pairs(tracker, pyrs_r, pyrs_c, uv, gap=64)
+    assert cuv.shape == (k, n, 2) and st.shape == (k, n)
+    single = BasicKlt(KltOptions(max_track_points=n))
+    for i in range(k):
+        suv, sst = single.track(pyrs_r[i], pyrs_c[i], uv[i])
+        np.testing.assert_array_equal(np.asarray(sst), np.asarray(st[i]))
+        both = np.asarray(sst) == 1
+        np.testing.assert_allclose(np.asarray(suv)[both],
+                                   np.asarray(cuv[i])[both], atol=1e-4)
+        assert both.sum() >= n - 2
