@@ -81,7 +81,7 @@ def main():
     from feature_tracker_tpu.ops.pyramid import build_pyramid
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    h = int(sys.argv[2]) if len(sys.argv) > 2 else 376
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 320
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 5120
     # gap >= (ex_patch + 1) * 2^(levels-1) (trackers/klt/multi.py): the
