@@ -62,3 +62,36 @@ def test_trajectory_is_smooth():
     _, _, tracks, _ = synthetic_video(rng, 8, 96, 96, 8, augment=False)
     step = np.linalg.norm(np.diff(tracks, axis=0), axis=-1)
     assert step.max() < 15.0
+
+
+def test_real_video_tracks_and_samples():
+    """KLT-verified real-video pseudo-labels: verified tracks exist, are
+    forward-backward consistent by construction, and samples honor the
+    (video, queries, tracks, vis) contract."""
+    from feature_tracker_tpu.train.cotracker_pretrain import (
+        _real_video_tracks,
+        real_video_sample,
+    )
+
+    frames, tracks = _real_video_tracks()
+    if frames is None:
+        import pytest
+        pytest.skip("reference imagery or native CPU port unavailable")
+    t, m = tracks.shape[:2]
+    assert t == frames.shape[0] and m >= 64
+    # Real KITTI forward motion: nonzero median per-frame displacement.
+    d = np.linalg.norm(np.diff(tracks, axis=0), axis=-1)
+    assert 0.5 < np.median(d) < 30.0
+
+    rng = np.random.default_rng(0)
+    s = real_video_sample(rng, 8, 96, 96, 16)
+    assert s is not None
+    video, queries, tr, vis = s
+    assert video.shape == (8, 96, 96, 1) and tr.shape == (8, 16, 2)
+    assert queries.shape == (16, 2) and vis.shape == (8, 16)
+    np.testing.assert_allclose(tr[0], queries, atol=1e-5)
+    assert np.isfinite(video).all() and np.isfinite(tr).all()
+    # Visibility is the in-crop indicator of the LABEL positions.
+    inside = ((tr[..., 0] >= 0) & (tr[..., 0] <= 95)
+              & (tr[..., 1] >= 0) & (tr[..., 1] <= 95))
+    np.testing.assert_array_equal(vis.astype(bool), inside)
