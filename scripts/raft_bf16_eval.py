@@ -228,6 +228,64 @@ def split():
     print(json.dumps({"raft_iteration_split": out}), flush=True)
 
 
+def speed_sidecar():
+    """The three 1024x440 timings the bench RAFT row cites from
+    weights/metrics.json ``raft_speed``: shipped (bf16 +
+    upsample_last_only) at K=12 and K=6, plus the f32 parity config at
+    K=12. Split out of the bench because three 440x1024 RAFT compiles
+    through the remote-compile tunnel blow the bench's slow-workload
+    timeout (r5 full-run evidence); this runs once per weight/model
+    revision."""
+    import datetime
+
+    import jax
+    import jax.numpy as jnp
+    from feature_tracker_tpu.models.raft import Raft, RaftConfig
+    from feature_tracker_tpu.utils.weights import WEIGHTS_DIR
+
+    h, w = 440, 1024
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.uniform(0, 255, (1, h, w, 1)), jnp.float32)
+    cur = jnp.asarray(rng.uniform(0, 255, (1, h, w, 1)), jnp.float32)
+
+    def time_cfg(cfg):
+        model = Raft(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               ref[:, :64, :64], cur[:, :64, :64])
+
+        def run(s):
+            flows = model.apply(variables, ref, cur + s)
+            return jnp.sum(flows[-1].astype(jnp.float32))
+
+        step = jax.jit(run)
+        floor_fn = jax.jit(lambda s: jnp.sum(cur + s))
+        return _time(step, floor_fn, iters=2, rounds=2)
+
+    out = {"resolution": f"{w}x{h}",
+           "updated": datetime.datetime.now(
+               datetime.timezone.utc).isoformat(timespec="seconds")}
+    for key, cfg in (
+            ("shipped_k12", RaftConfig(max_iterations=12, low_memory=True,
+                                       dtype=jnp.bfloat16,
+                                       upsample_last_only=True)),
+            ("shipped_k6", RaftConfig(max_iterations=6, low_memory=True,
+                                      dtype=jnp.bfloat16,
+                                      upsample_last_only=True)),
+            ("parity_f32_k12", RaftConfig(max_iterations=12,
+                                          low_memory=True))):
+        dt = time_cfg(cfg)
+        out[key] = {"ms": round(dt * 1e3, 2), "fps": round(1.0 / dt, 2)}
+        print(json.dumps({key: out[key]}), flush=True)
+    path = os.path.join(WEIGHTS_DIR, "metrics.json")
+    with open(path) as fh:
+        metrics = json.load(fh)
+    metrics["raft_speed"] = out
+    with open(path, "w") as fh:
+        json.dump(metrics, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"raft_speed": out}), flush=True)
+
+
 def anytime():
     """Held-out EPE of the trained compact weights at K=6 (native) vs
     K=12 (extrapolated) iterations — the anytime knob the bench row
@@ -272,5 +330,5 @@ def anytime():
 
 
 if __name__ == "__main__":
-    {"accuracy": accuracy, "speed": speed,
+    {"accuracy": accuracy, "speed": speed, "speed_sidecar": speed_sidecar,
      "split": split, "anytime": anytime}[sys.argv[1]]()
