@@ -310,11 +310,15 @@ def main(steps: int = 500, t: int = 8, h: int = 96, w: int = 96,
          lr_micro: int = 50, wide_motion: int = 1, save: int = 1,
          real_pct: int = 0, pool_size: int = 120, feature_dim: int = 64,
          model_dim: int = 128, depth: int = 2, iterations: int = 4,
-         time_enc: int = 1):
+         time_enc: int = 0):
     """``real_pct`` mixes REAL KITTI-video samples with KLT-verified
     pseudo-label tracks into the pool (VERDICT r4 item 4); capacity
     knobs (feature_dim/model_dim/depth/iterations) expose the
-    paper-scale axis — the r4 grid saturated the small model."""
+    paper-scale axis — the r4 grid saturated the small model.
+    ``time_enc`` defaults OFF: the r5 sweep measured the unit-amplitude
+    sinusoidal time tokens DIVERGING at the r4-best recipe (loss 95 /
+    EPE 19.33 vs 3.47 without; with real_pct=30 still 6.53 and
+    visibility accuracy collapsed to 0.36) — see BASELINE.md."""
     os.makedirs(WEIGHTS_DIR, exist_ok=True)
     t0 = time.time()
     cfg = CoTrackerConfig(feature_dim=feature_dim, model_dim=model_dim,
