@@ -15,3 +15,4 @@ python3 match_disk_demo.py
 python3 nn_matcher_demo.py
 python3 stream_demo.py
 python3 slam_demo.py
+python3 cotracker_demo.py
